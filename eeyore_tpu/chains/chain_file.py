@@ -1,0 +1,75 @@
+"""Streaming CSV chain persistence: one file per key in a directory.
+
+Reference: /root/reference/eeyore/chains/chain_file.py:9-81 — per-key CSV files
+(sample.csv, target_val.csv, ...) with %.18e float / %d int formats, append
+mode by default, parse-back via ``to_chainlist``. This is the checkpoint /
+large-run-output mechanism; formats are kept CSV-compatible with the
+reference so chains interoperate.
+
+Unlike the reference (which opens and closes every file per update), files
+stay open across updates unless ``close=True`` — and ``update_all`` streams a
+whole stacked chain through numpy.savetxt in one call.
+"""
+
+import numpy as np
+
+from pathlib import Path
+
+from eeyore_tpu.chains.chain import Chain
+
+DEFAULT_FMT = {"sample": "%.18e", "target_val": "%.18e", "grad_val": "%.18e",
+               "momentum": "%.18e", "hamiltonian": "%.18e", "accepted": "%d"}
+
+
+class ChainFile(Chain):
+    def __init__(self, keys=("sample", "target_val", "accepted"), path=None, mode="a"):
+        self.path = Path(path) if path is not None else Path.cwd()
+        self.mode = mode
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.reset(keys=keys)
+
+    def reset(self, keys=("sample", "target_val", "accepted")):
+        self.vals = {key: open(self.path / (key + ".csv"), self.mode) for key in keys}
+
+    def close(self):
+        for f in self.vals.values():
+            f.close()
+
+    def update(self, state, reset=True, close=True, fmt=None):
+        fmt = fmt or DEFAULT_FMT
+        if reset:
+            self.reset(keys=self.vals.keys())
+        for key, f in self.vals.items():
+            v = state[key]
+            if hasattr(v, "__array__"):
+                np.savetxt(f, np.asarray(v).ravel()[np.newaxis], fmt=fmt.get(key, "%.18e"), delimiter=",")
+            else:
+                f.write(str(v) + "\n")
+        if close:
+            self.close()
+
+    def update_all(self, arrays, fmt=None):
+        """Stream stacked arrays {key: [n_iter, ...]} in one savetxt per key."""
+        fmt = fmt or DEFAULT_FMT
+        for key, f in self.vals.items():
+            a = np.asarray(arrays[key])
+            np.savetxt(f, a.reshape(a.shape[0], -1), fmt=fmt.get(key, "%.18e"), delimiter=",")
+        self.close()
+
+    def to_chainlist(self, keys=None, dtype=np.float64):
+        from eeyore_tpu.chains.chain_list import ChainList
+
+        keys = set(keys or self.vals.keys()) & {"sample", "target_val", "grad_val", "accepted"}
+        vals = {}
+        for key in keys:
+            fpath = self.path / (key + ".csv")
+            if key == "accepted":
+                rows = np.loadtxt(fpath, delimiter=",", dtype=np.int64, ndmin=1)
+                vals[key] = [int(r) for r in np.atleast_1d(rows)]
+            elif key == "target_val":
+                rows = np.loadtxt(fpath, delimiter=",", dtype=dtype, ndmin=1)
+                vals[key] = list(np.atleast_1d(rows))
+            else:  # sample / grad_val: vector rows
+                rows = np.loadtxt(fpath, delimiter=",", dtype=dtype, ndmin=2)
+                vals[key] = list(rows)
+        return ChainList(keys=tuple(vals.keys()), vals=vals)

@@ -1,0 +1,9 @@
+from eeyore_tpu.datasets.batches import BatchSchedule, as_schedule
+from eeyore_tpu.datasets.counter import DataCounter
+from eeyore_tpu.datasets.xydataset import (
+    EmptyXYDataset,
+    XYDataset,
+    XYIDataset,
+    data_paths,
+    one_hot,
+)
