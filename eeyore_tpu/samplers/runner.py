@@ -1,0 +1,101 @@
+"""Chain runners: jit-compiled two-phase scans, vmapped over chains.
+
+The reference's run loop — ``for epoch: for batch: draw()`` with burn-in
+states discarded (serial_sampler.py:35-52) — becomes two ``lax.scan``s inside
+one jitted function per phase: a burn-in scan carrying only the kernel state
+(no recorded outputs, so XLA allocates nothing per iteration), then a
+sampling scan whose stacked outputs ARE the chain. Epoch/burn-in accounting
+matches DataCounter semantics: num_iters = num_epochs * num_batches.
+
+Many chains = ``jax.vmap`` over (key, theta0) — thousands of chains per chip
+in one executable; multi-chip sharding lives in eeyore_tpu.parallel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeyore_tpu.chains import ChainList, ChainLists
+from eeyore_tpu.datasets import as_schedule
+
+
+def _phase_scan(kernel, key, state, schedule, start, length, record_keys):
+    """Scan ``length`` iterations starting at global iteration ``start``."""
+    if length == 0:
+        return state, None
+
+    def body(state, i):
+        k = jax.random.fold_in(key, i)
+        xb, yb = schedule.batch(i)
+        state, info = kernel.step(k, state, xb, yb, i)
+        out = {kk: info[kk] for kk in record_keys} if record_keys is not None else None
+        return state, out
+
+    return jax.lax.scan(body, state, jnp.arange(start, start + length))
+
+
+def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys):
+    """Build the pure (key, theta0) -> (final_state, recorded) function."""
+
+    def run(key, theta0):
+        init_key, chain_key = jax.random.split(key)
+        xb, yb = schedule.batch(0)
+        state = kernel.init(theta0, xb, yb, key=init_key)
+        state, _ = _phase_scan(kernel, chain_key, state, schedule, 0, num_burnin_iters, None)
+        state, recorded = _phase_scan(
+            kernel, chain_key, state, schedule, num_burnin_iters, num_iters - num_burnin_iters,
+            record_keys,
+        )
+        return state, recorded
+
+    return run
+
+
+def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
+                 record_keys=None, jit=True, return_state=False):
+    """Run one chain; returns a ChainList of the post-burn-in states.
+
+    ``num_iters`` counts ALL iterations including burn-in (the reference's
+    epochs x batches), ``num_burnin_iters`` of which are discarded.
+    """
+    schedule = as_schedule(data)
+    kernel.recompute_current = schedule.num_batches != 1
+    if hasattr(kernel, "num_burnin_iters"):
+        kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
+    record_keys = tuple(record_keys or kernel.state_keys)
+
+    fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
+    if jit:
+        fn = jax.jit(fn)
+    state, recorded = fn(key, jnp.asarray(theta0))
+    chain = ChainList.from_arrays({k: np.asarray(v) for k, v in recorded.items()})
+    return (chain, state) if return_state else chain
+
+
+def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
+                  record_keys=None, jit=True, return_state=False, return_arrays=False):
+    """Run many chains at once: vmap over (key, theta0).
+
+    ``theta0s``: [num_chains, num_params]. Returns a ChainLists (or the raw
+    stacked arrays {key: [num_chains, kept_iters, ...]} with
+    ``return_arrays=True`` — the TPU-native path, no host conversion).
+    """
+    schedule = as_schedule(data)
+    kernel.recompute_current = schedule.num_batches != 1
+    if hasattr(kernel, "num_burnin_iters"):
+        kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
+    record_keys = tuple(record_keys or kernel.state_keys)
+
+    theta0s = jnp.asarray(theta0s)
+    num_chains = theta0s.shape[0]
+    keys = jax.random.split(key, num_chains)
+
+    fn = jax.vmap(run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys))
+    if jit:
+        fn = jax.jit(fn)
+    state, recorded = fn(keys, theta0s)
+
+    if return_arrays:
+        return (recorded, state) if return_state else recorded
+    chains = ChainLists.from_arrays({k: np.asarray(v) for k, v in recorded.items()})
+    return (chains, state) if return_state else chains
