@@ -2,6 +2,7 @@ from eeyore_tpu.samplers.am import AM, AMState
 from eeyore_tpu.samplers.base import TransitionKernel
 from eeyore_tpu.samplers.demc import DEMC, DEMCState
 from eeyore_tpu.samplers.gibbs import Gibbs, GibbsState
+from eeyore_tpu.samplers.harness import SamplerHarness
 from eeyore_tpu.samplers.hmc import HMC, HMCState
 from eeyore_tpu.samplers.mala import MALA, MALAState
 from eeyore_tpu.samplers.mh import MetropolisHastings, MHState

@@ -1,0 +1,172 @@
+"""Experiment harness: the reference's epoch-based ``run`` and multi-chain
+``benchmark`` workflows on top of the scan/vmap runners.
+
+Reference semantics (/root/reference/eeyore/samplers/serial_sampler.py:35-126):
+- ``run(num_epochs, num_burnin_epochs)``: iterations = epochs x batches,
+  burn-in discarded, verbose wall-clock reporting;
+- ``benchmark(num_chains, ..., path, init, check_conditions)``: simulate
+  chains from prior-sampled (or given) inits until ``num_chains`` SUCCEED,
+  filtering by a user ``check_conditions(chain, runtime)`` predicate and
+  catching per-chain errors; write each accepted chain to ``run<i>/`` as CSVs
+  plus ``runtime.txt``, error texts under ``errors/``, and a final
+  ``run_counts.txt`` with succeeded / unmet-conditions / runtime-error
+  counts.
+
+The TPU twist: candidate chains are simulated in vmapped BATCHES of
+``batch_chains`` at a time instead of one-by-one; the retry loop tops up
+until the success quota is met.
+"""
+
+import time
+
+from datetime import timedelta
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeyore_tpu.chains import ChainList
+from eeyore_tpu.datasets import DataCounter, as_schedule
+from eeyore_tpu.samplers.runner import sample_chain, sample_chains
+
+
+class SamplerHarness:
+    """Binds a transition kernel + data into the reference's Sampler API."""
+
+    def __init__(self, kernel, data, theta0=None, key=None):
+        self.kernel = kernel
+        self.schedule = as_schedule(data)
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.theta0 = theta0
+        self.chain = ChainList(keys=self.kernel.state_keys)
+        self.counter = DataCounter(
+            batch_size=self.schedule.x.shape[1],
+            sample_size=self.schedule.x.shape[0] * self.schedule.x.shape[1],
+            num_batches=self.schedule.num_batches,
+        )
+        self.final_state = None
+
+    def get_model(self):
+        return self.kernel.model
+
+    def get_chain(self):
+        return self.chain
+
+    def get_sample(self, idx):
+        return self.chain.get_sample(idx)
+
+    def get_param(self, idx):
+        return self.chain.get_param(idx)
+
+    def reset(self, theta, key=None, reset_chain=True):
+        self.theta0 = jnp.asarray(theta)
+        if key is not None:
+            self.key = key
+        if reset_chain:
+            self.chain = ChainList(keys=self.kernel.state_keys)
+
+    def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100):
+        """One jitted two-phase scan; epochs x batches iteration accounting."""
+        self.counter.set_epoch_info(num_epochs, num_burnin_epochs)
+        start = time.perf_counter()
+        chain, state = sample_chain(
+            self.kernel, self.key, self.theta0, self.schedule,
+            self.counter.num_iters, self.counter.num_burnin_iters,
+            return_state=True,
+        )
+        runtime = time.perf_counter() - start
+        if verbose:
+            print(f"{self.counter.num_iters} iterations "
+                  f"({self.counter.num_epochs} epochs, {self.counter.num_burnin_epochs} burn-in) "
+                  f"in {timedelta(seconds=runtime)}")
+        self.chain = chain
+        self.final_state = state
+        self.last_runtime = runtime
+        return chain
+
+    def to_chainfile(self, path=None, mode="a"):
+        self.chain.to_chainfile(path=path, mode=mode)
+
+    # ------------------------------------------------------------------
+
+    def benchmark(self, num_chains, num_epochs, num_burnin_epochs, path,
+                  init=None, check_conditions=None, verbose=False,
+                  batch_chains=None, max_attempts=10):
+        """Simulate until ``num_chains`` chains pass ``check_conditions``.
+
+        Returns the list of accepted ChainLists. Filesystem layout matches
+        the reference: run<i>/{sample.csv,...,runtime.txt}, errors/,
+        run_counts.txt.
+        """
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        self.counter.set_epoch_info(num_epochs, num_burnin_epochs)
+        batch_chains = batch_chains or num_chains
+
+        succeeded, failed_conditions, failed_errors = 0, 0, 0
+        accepted = []
+        key = self.key
+        attempts = 0
+
+        while succeeded < num_chains and attempts < max_attempts:
+            attempts += 1
+            key, key_init, key_run = jax.random.split(key, 3)
+
+            if init is not None:
+                theta0s = jnp.stack([jnp.asarray(t) for t in init])[:batch_chains]
+            else:
+                init_keys = jax.random.split(key_init, batch_chains)
+                theta0s = jnp.stack([self.get_model().prior.sample(k) for k in init_keys])
+
+            start = time.perf_counter()
+            try:
+                chains = sample_chains(
+                    self.kernel, key_run, theta0s, self.schedule,
+                    self.counter.num_iters, self.counter.num_burnin_iters,
+                )
+            except (RuntimeError, FloatingPointError) as err:
+                failed_errors += batch_chains
+                err_path = path / "errors"
+                err_path.mkdir(parents=True, exist_ok=True)
+                with open(err_path / f"error{failed_errors}.txt", "w") as f:
+                    f.write(f"{err}\n")
+                continue
+            runtime = (time.perf_counter() - start) / batch_chains
+
+            for c in range(chains.num_chains()):
+                if succeeded >= num_chains:
+                    break
+                chain = ChainList.from_arrays({k: chains.get_chain(c, key=k)
+                                               for k in chains.vals.keys()})
+                # per-chain sanity: NaNs count as runtime failures
+                if not np.all(np.isfinite(chain.get_samples())):
+                    failed_errors += 1
+                    err_path = path / "errors"
+                    err_path.mkdir(parents=True, exist_ok=True)
+                    with open(err_path / f"error{failed_errors}.txt", "w") as f:
+                        f.write("non-finite samples in chain\n")
+                    continue
+                if (check_conditions is None) or check_conditions(chain, runtime):
+                    succeeded += 1
+                    run_path = path / ("run" + str(succeeded).zfill(len(str(num_chains))))
+                    run_path.mkdir(parents=True, exist_ok=True)
+                    chain.to_chainfile(path=run_path, mode="w")
+                    with open(run_path / "runtime.txt", "w") as f:
+                        f.write(f"{runtime}\n")
+                    accepted.append(chain)
+                    if verbose:
+                        print(f"chain {succeeded}/{num_chains} accepted "
+                              f"(acceptance {chain.acceptance_rate():.3f}, "
+                              f"runtime {timedelta(seconds=runtime)})")
+                else:
+                    failed_conditions += 1
+                    if verbose:
+                        print("chain failed conditions")
+
+        with open(path / "run_counts.txt", "w") as f:
+            f.write(f"{succeeded},succesful\n")
+            f.write(f"{failed_conditions},unmet_conditions\n")
+            f.write(f"{failed_errors},runtime_errors\n")
+
+        return accepted
