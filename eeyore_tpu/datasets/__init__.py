@@ -1,5 +1,6 @@
 from eeyore_tpu.datasets.batches import BatchSchedule, as_schedule
 from eeyore_tpu.datasets.counter import DataCounter
+from eeyore_tpu.datasets.mld_batcher import MLDBatcher, MLDClassificationBatcher
 from eeyore_tpu.datasets.xydataset import (
     EmptyXYDataset,
     XYDataset,
