@@ -49,12 +49,20 @@ class ChainFile(Chain):
             self.close()
 
     def update_all(self, arrays, fmt=None):
-        """Stream stacked arrays {key: [n_iter, ...]} in one savetxt per key."""
+        """Stream stacked arrays {key: [n_iter, ...]} in one pass per key —
+        through the native C++ writer (eeyore_tpu.native.chainstore) when
+        available, else numpy.savetxt."""
+        from eeyore_tpu import native
+
         fmt = fmt or DEFAULT_FMT
-        for key, f in self.vals.items():
+        self.close()  # the native writer appends to the files directly
+        for key in self.vals.keys():
             a = np.asarray(arrays[key])
-            np.savetxt(f, a.reshape(a.shape[0], -1), fmt=fmt.get(key, "%.18e"), delimiter=",")
-        self.close()
+            a2 = a.reshape(a.shape[0], -1)
+            path = self.path / (key + ".csv")
+            if not native.write_csv(path, a2, mode=self.mode):
+                with open(path, self.mode) as f:
+                    np.savetxt(f, a2, fmt=fmt.get(key, "%.18e"), delimiter=",")
 
     def to_chainlist(self, keys=None, dtype=np.float64):
         from eeyore_tpu.chains.chain_list import ChainList

@@ -73,6 +73,24 @@ class TestChainFile:
         np.testing.assert_allclose(back.get_target_vals(), chain.get_target_vals(), rtol=1e-15)
         assert back.vals["accepted"] == chain.vals["accepted"]
 
+    def test_native_writer_roundtrip(self, tmp_path):
+        """The C++ chainstore writer must produce numpy-parseable CSVs that
+        round-trip exactly (%.18e covers float64)."""
+        from eeyore_tpu import native
+
+        if native.get_chainstore() is None:
+            import pytest
+
+            pytest.skip("no native toolchain")
+        arrays = {"sample": RNG.normal(size=(500, 7)), "target_val": RNG.normal(size=500),
+                  "accepted": RNG.integers(0, 2, 500)}
+        cf = ChainFile(keys=tuple(arrays.keys()), path=tmp_path, mode="w")
+        cf.update_all(arrays)
+        back = ChainFile(keys=tuple(arrays.keys()), path=tmp_path).to_chainlist()
+        np.testing.assert_array_equal(back.get_samples(), arrays["sample"])
+        np.testing.assert_array_equal(back.get_target_vals(), arrays["target_val"])
+        assert back.vals["accepted"] == list(arrays["accepted"])
+
     def test_update_all(self, tmp_path):
         arrays = {"sample": RNG.normal(size=(15, 2)), "target_val": RNG.normal(size=15),
                   "accepted": np.ones(15, dtype=int)}
