@@ -57,7 +57,7 @@ def build():
     return model, kernel, schedule
 
 
-def bench(num_chains=4096, num_iters=512, repeats=3):
+def bench(num_chains=32768, num_iters=256, repeats=3):
     from eeyore_tpu.samplers.runner import run_fn
 
     model, kernel, schedule = build()
@@ -90,8 +90,8 @@ def bench(num_chains=4096, num_iters=512, repeats=3):
 
 
 def main():
-    num_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    num_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    num_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    num_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     sps, elapsed = bench(num_chains, num_iters)
     baseline = load_baseline()
     print(json.dumps({

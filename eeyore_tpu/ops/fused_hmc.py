@@ -116,7 +116,10 @@ class FusedHMC:
 
     def run(self, key, theta0s, num_iters, num_burnin_iters=0,
             record_keys=("sample", "target_val", "accepted"), jit=True):
-        """Returns (final_state, recorded {key: [kept, C, ...]})."""
+        """Returns (final_state, recorded {key: [kept, C, ...]}).
+
+        The jitted program is cached per (num_iters, burnin, record_keys) on
+        the instance — repeated runs retrace nothing."""
 
         def go(key, theta0s):
             state = self.init(theta0s)
@@ -136,5 +139,11 @@ class FusedHMC:
                                            jnp.arange(num_burnin_iters, num_iters))
             return state, recorded
 
-        fn = jax.jit(go) if jit else go
-        return fn(key, jnp.asarray(theta0s, dtype=jnp.float32))
+        if not jit:
+            return go(key, jnp.asarray(theta0s, dtype=jnp.float32))
+        cache_key = (num_iters, num_burnin_iters, tuple(record_keys))
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = jax.jit(go)
+        return self._jit_cache[cache_key](key, jnp.asarray(theta0s, dtype=jnp.float32))
