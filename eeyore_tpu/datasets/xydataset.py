@@ -69,8 +69,41 @@ class XYDataset:
 class XYIDataset(XYDataset):
     """Index-returning variant (used by MCIntegrator.integrate_from_dataset)."""
 
+    def __repr__(self):
+        return "XYIDataset: indexed XYDataset"
+
     def __getitem__(self, idx):
         return self.x[idx], self.y[idx], idx
+
+    @classmethod
+    def from_xydataset(cls, xydataset):
+        return cls(xydataset.x, xydataset.y)
+
+
+class IDataset:
+    """Wrap any (x, y) dataset so __getitem__ also returns the index
+    (reference idataset.py:3-15)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __repr__(self):
+        return "IDataset: indexed Dataset"
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        x, y = self.dataset[idx]
+        return x, y, idx
+
+    @property
+    def x(self):
+        return self.dataset.x
+
+    @property
+    def y(self):
+        return self.dataset.y
 
 
 class EmptyXYDataset(XYDataset):

@@ -32,6 +32,41 @@ class LogTargetModel:
         gradient-based sampler (reference: log_target_model.py:20-23)."""
         return jax.value_and_grad(self.log_target)(theta, x, y)
 
+    def summary(self, theta=None, hashsummary=False):
+        """Print a model summary (reference model.py:12-22 /
+        bayesian_model.py:16-28); with a theta, optionally per-chunk sha256
+        checksums of the flat parameter vector."""
+        print(self)
+        print("-" * 80)
+        print(f"Number of model parameters: {self.num_params}")
+        print("-" * 80)
+        if getattr(self, "prior", None) is not None:
+            print(f"Prior: {self.prior}")
+            print("-" * 80)
+        if hashsummary and theta is not None:
+            print("Hash Summary:")
+            for idx, hashvalue in enumerate(self.hashsummary(theta)):
+                print(f"{idx}: {hashvalue}")
+
+    def hashsummary(self, theta):
+        """sha256 checksums of the flat theta, one per parameter group when
+        the model exposes ``unpack``, else one for the whole vector
+        (reference model.py:24-32)."""
+        import hashlib
+
+        import numpy as np
+
+        theta = np.asarray(theta)
+        if hasattr(self, "unpack"):
+            chunks = []
+            for w, b in self.unpack(theta):
+                chunks.append(np.asarray(w))
+                if b is not None:
+                    chunks.append(np.asarray(b))
+        else:
+            chunks = [theta]
+        return [hashlib.sha256(c.tobytes()).hexdigest() for c in chunks]
+
     def with_temperature(self, temperature):
         """Functional copy with a different temperature (for tempering
         ladders — replaces the reference's per-chain model deep copies,
