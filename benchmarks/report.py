@@ -1,0 +1,227 @@
+"""Full benchmark report: the five BASELINE.md configs on the local
+accelerator, with samples/s, ESS/s, acceptance, and posterior moments, plus
+chain-axis scaling efficiency on a virtual device mesh.
+
+Writes benchmarks/RESULTS.md. Run on the TPU (default platform) or CPU.
+"""
+
+import json
+import time
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from eeyore_tpu import stats as st
+from eeyore_tpu.datasets import BatchSchedule, XYDataset
+from eeyore_tpu.models import MLP, loss_functions, mlp
+from eeyore_tpu.samplers import HMC, MALA, Gibbs, MetropolisHastings, SMCSampler
+from eeyore_tpu.samplers.runner import run_fn
+from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+DT = jnp.float32
+
+
+def xor_data():
+    x = jnp.asarray([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=DT)
+    y = jnp.asarray([[0.], [1.], [1.], [0.]], dtype=DT)
+    return x, y
+
+
+def iris_data():
+    ds = XYDataset.from_eeyore("iris", yonehot=True)
+    return jnp.asarray(ds.x, DT), jnp.asarray(ds.y, DT)
+
+
+def mlp_model(dims, loss="binary_classification", acts=None):
+    hp = (mlp.Hyperparameters(dims=dims) if acts is None
+          else mlp.Hyperparameters(dims=dims, activations=acts))
+    return MLP(loss=loss_functions[loss], hparams=hp, dtype=DT)
+
+
+def run_config(kernel, data, num_chains, num_iters, burnin, ess_chains=32):
+    """Compile, run, time; compute ESS on a chain subsample (host f64)."""
+    schedule = BatchSchedule.full_batch(*data)
+    kernel.recompute_current = False
+    if hasattr(kernel, "num_burnin_iters"):
+        kernel.num_burnin_iters = burnin
+    model = kernel.model
+    fn = jax.jit(jax.vmap(run_fn(kernel, schedule, num_iters, burnin,
+                                 ("sample", "accepted"))))
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, num_chains)
+    theta0s = 0.1 * jax.random.normal(key, (num_chains, model.num_params), dtype=DT)
+
+    state, rec = fn(keys, theta0s)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, rec = fn(keys, theta0s)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    kept = num_iters - burnin
+    samples = np.asarray(rec["sample"][:ess_chains], dtype=np.float64)  # [c, kept, p]
+    acc = np.asarray(rec["accepted"], dtype=np.float64)
+    ess = []
+    for c in range(samples.shape[0]):
+        try:
+            ess.append(st.multi_ess(samples[c], method="inse"))
+        except RuntimeError:
+            pass
+    mean_ess = float(np.mean(ess)) if ess else float("nan")
+    sps = num_chains * num_iters / elapsed
+    # ESS/s: per-chain ESS earned over the whole wall-clock, all chains
+    ess_per_s = mean_ess * num_chains / elapsed
+    pooled = samples.reshape(-1, samples.shape[-1])
+    return {
+        "samples_per_s": sps,
+        "ess_per_s": ess_per_s,
+        "mean_chain_ess": mean_ess,
+        "kept_iters": kept,
+        "acceptance": float(acc.mean()),
+        "posterior_mean_head": np.round(pooled.mean(0)[:4], 3).tolist(),
+        "elapsed_s": elapsed,
+        "num_chains": num_chains,
+    }
+
+
+def config1_mh(C=32768, T=2048, burnin=1024):
+    model = mlp_model([2, 2, 1])
+    return run_config(MetropolisHastings(model, scale=0.1), xor_data(), C, T, burnin)
+
+
+def config2_mala(C=32768, T=2048, burnin=1024):
+    model = mlp_model([2, 3, 2, 1])
+    return run_config(MALA(model, step=0.01), xor_data(), C, T, burnin)
+
+
+def config3_hmc_da(C=8192, T=1536, burnin=512):
+    model = mlp_model([4, 3, 3], loss="multiclass_classification",
+                      acts=[mlp.sigmoid, None])
+    kern = HMC(model, tuner=HMCDATuner(l=0.15, e0=0.02), max_num_steps=64)
+    return run_config(kern, iris_data(), C, T, burnin)
+
+
+def config4_gibbs(C=8192, T=1024, burnin=512):
+    model = mlp_model([4, 3, 2, 3], loss="multiclass_classification",
+                      acts=[mlp.sigmoid, mlp.sigmoid, None])
+    return run_config(Gibbs(model, scales=0.1), iris_data(), C, T, burnin)
+
+
+def config5_smc(N=16384):
+    x, y = xor_data()
+    model = mlp_model([2, 2, 1])
+    betas = [(i / 20) ** 4 for i in range(21)]
+    smc = SMCSampler(model, num_particles=N, betas=betas, mutation="MALA",
+                     mutation_step=0.05, num_mutation_steps=5)
+    state, diags = smc.run(jax.random.PRNGKey(0), (x, y))  # compile
+    t0 = time.perf_counter()
+    state, diags = smc.run(jax.random.PRNGKey(1), (x, y))
+    elapsed = time.perf_counter() - t0
+    stages = len(betas) - 1
+    return {
+        "particle_stage_mutations_per_s": N * stages * 5 / elapsed,
+        "final_weight_ess": float(state.ess),
+        "log_evidence": diags["log_evidence"],
+        "mean_mutation_acceptance": float(np.mean(diags["mutation_acceptance"])),
+        "num_resamples": int(np.sum(diags["resampled"])),
+        "elapsed_s": elapsed,
+        "num_particles": N,
+    }
+
+
+def scaling_efficiency():
+    """Chain-axis weak scaling on the virtual 8-device CPU mesh (the
+    multi-chip proxy available in this container; the sharded program is the
+    same one a real pod slice runs)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, time, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
+from jax.sharding import Mesh
+from eeyore_tpu.models import MLP, loss_functions, mlp
+from eeyore_tpu.parallel import sample_chains_sharded
+from eeyore_tpu.samplers import HMC
+x = jnp.asarray([[0.,0.],[0.,1.],[1.,0.],[1.,1.]], dtype=jnp.float32)
+y = jnp.asarray([[0.],[1.],[1.],[0.]], dtype=jnp.float32)
+model = MLP(loss=loss_functions["binary_classification"], hparams=mlp.Hyperparameters(dims=[2,2,1]), dtype=jnp.float32)
+out = {}
+for n_dev in [1, 2, 4, 8]:
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("chains",))
+    C = 256 * n_dev
+    kern = HMC(model, step=0.05, num_steps=10)
+    key = jax.random.PRNGKey(0)
+    theta0s = 0.1*jax.random.normal(key, (C, model.num_params), dtype=jnp.float32)
+    rec, _ = sample_chains_sharded(kern, key, theta0s, (x, y), 64, 0, mesh=mesh)
+    jax.block_until_ready(rec["sample"])
+    t0=time.perf_counter()
+    rec, _ = sample_chains_sharded(kern, key, theta0s, (x, y), 64, 0, mesh=mesh)
+    jax.block_until_ready(rec["sample"])
+    out[n_dev] = C*64/(time.perf_counter()-t0)
+base = out[1]
+print(json.dumps({str(k): {"sps": v, "efficiency": v/(base*k)} for k, v in out.items()}))
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                         timeout=1800)
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]) if lines else {"error": res.stderr[-500:]}
+
+
+def main():
+    platform = jax.devices()[0].platform
+    results = {"platform": platform, "device": str(jax.devices()[0])}
+    for name, fn in [("config1_mh_mlp221_xor", config1_mh),
+                     ("config2_mala_mlp2321_xor", config2_mala),
+                     ("config3_hmc_da_mlp433_iris", config3_hmc_da),
+                     ("config4_gibbs_mlp4323_iris", config4_gibbs),
+                     ("config5_smc_mlp221_xor", config5_smc)]:
+        t0 = time.time()
+        results[name] = fn()
+        print(f"{name}: {json.dumps(results[name])} (total {time.time()-t0:.0f}s incl compile)",
+              flush=True)
+    results["chain_scaling_virtual_mesh"] = scaling_efficiency()
+    print("scaling:", json.dumps(results["chain_scaling_virtual_mesh"]), flush=True)
+
+    out = Path(__file__).parent / "RESULTS.json"
+    out.write_text(json.dumps(results, indent=2) + "\n")
+
+    baseline = json.loads((Path(__file__).parent / "baseline_cpu.json").read_text())
+    md = ["# Benchmark results", "",
+          f"Device: {results['device']} ({platform})", "",
+          "| config | samples/s | ESS/s | acceptance | vs reference CPU |",
+          "|---|---|---|---|---|"]
+    ref_map = {"config1_mh_mlp221_xor": "mh_mlp221_xor_f64",
+               "config2_mala_mlp2321_xor": "mala_mlp433_iris_f32",
+               "config3_hmc_da_mlp433_iris": "hmc_mlp433_iris_f32"}
+    for name in ["config1_mh_mlp221_xor", "config2_mala_mlp2321_xor",
+                 "config3_hmc_da_mlp433_iris", "config4_gibbs_mlp4323_iris"]:
+        r = results[name]
+        ref = baseline.get(ref_map.get(name, ""), {}).get("samples_per_s")
+        ratio = f"{r['samples_per_s']/ref:,.0f}x" if ref else "-"
+        md.append(f"| {name} | {r['samples_per_s']:,.0f} | {r['ess_per_s']:,.0f} | "
+                  f"{r['acceptance']:.3f} | {ratio} |")
+    r5 = results["config5_smc_mlp221_xor"]
+    md += ["", f"SMC: {r5['particle_stage_mutations_per_s']:,.0f} particle-mutations/s, "
+           f"final weight-ESS {r5['final_weight_ess']:.0f} of {r5['num_particles']}, "
+           f"log-evidence {r5['log_evidence']:.2f}", "",
+           "Chain-axis weak scaling (8-device virtual mesh): " +
+           ", ".join(f"{k} dev: {v['efficiency']:.2f}" for k, v in
+                     results["chain_scaling_virtual_mesh"].items()
+                     if isinstance(v, dict))]
+    (Path(__file__).parent / "RESULTS.md").write_text("\n".join(md) + "\n")
+    print("wrote RESULTS.md / RESULTS.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""VMEM-resident HMC: the ENTIRE sampling loop in one Pallas kernel.
+
+The scanned XLA pipeline (samplers/runner.py) streams every per-iteration
+tensor through HBM; at mlp221 scale that makes HMC HBM-bound (~100 small
+[C]-sized arrays per iteration). This kernel instead keeps the whole chain
+state — theta, momentum, gradient, every activation — in VMEM for the
+entire run and touches HBM exactly once per recorded sample (an async DMA of
+the [P, chain_block] sample tile). That is the SURVEY.md section 2.0 target:
+"fusing the whole forward+backward+prior per chain into one kernel over the
+vmapped chain axis, keeping theta in registers/VMEM across leapfrog steps".
+
+Randomness: the on-core PRNG (pltpu.prng_*), seeded per chain block;
+normals via Box-Muller. Streams differ from jax.random — statistically
+equivalent, not bit-matched (validated by posterior-moment tests).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
+
+
+def _uniform(shape):
+    """(0, 1] uniforms from raw PRNG bits (mantissa-fill trick)."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    return 1.0 - f  # (0, 1]
+
+
+def _normal(shape):
+    """Standard normals via Box-Muller."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * math.pi * u2)
+
+
+def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
+                      chain_block=2048, record_thin=1):
+    """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
+    accept_counts [C])`` running the whole HMC loop on-chip.
+
+    ``kept = (num_iters - num_burnin_iters) // record_thin``. C must be a
+    multiple of ``chain_block`` (which should be a multiple of 128).
+    """
+    x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
+    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature)
+    P = model.num_params
+    P_pad = ((P + 7) // 8) * 8  # sublane-aligned parameter rows for the HBM DMA
+    n_pad, d_in = x_pad.shape
+    k_out = y_pad.shape[1]
+    kept = (num_iters - num_burnin_iters) // record_thin
+    step = float(step)
+
+    def kernel(seed_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref, ivar_ref,
+               samples_ref, final_ref, acc_ref,
+               stage_ref, dma_sem):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+
+        xv = x_ref[:, :]
+        yv = y_ref[:, :]
+        maskv = mask_ref[:, :]
+        locv = loc_ref[:, :]
+        ivarv = ivar_ref[:, :]
+
+        def vg(theta):
+            return vg_math(theta, xv, yv, maskv, locv, ivarv)
+
+        theta0 = theta_ref[:, :]
+        val0, grad0 = vg(theta0)
+        acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
+
+        def iteration(t, carry):
+            theta, val, grad, acc = carry
+            mom = _normal(theta.shape)
+            h_cur = -val + 0.5 * jnp.sum(mom * mom, axis=0, keepdims=True)
+
+            # leapfrog
+            p_half = mom + 0.5 * step * grad
+
+            def lf_body(s, c):
+                th, pm, v, g = c
+                th = th + step * pm
+                v, g = vg(th)
+                factor = jnp.where(s == num_steps - 1, 0.5, 1.0)
+                pm = pm + factor * step * g
+                return (th, pm, v, g)
+
+            th, pm, v, g = jax.lax.fori_loop(
+                0, num_steps, lf_body, (theta, p_half, val, grad))
+
+            h_prop = -v + 0.5 * jnp.sum(pm * pm, axis=0, keepdims=True)
+            u = _uniform(h_prop.shape)
+            accept = jnp.log(u) < (h_cur - h_prop)
+
+            theta = jnp.where(accept, th, theta)
+            val = jnp.where(accept, v, val)
+            grad = jnp.where(accept, g, grad)
+            acc = acc + jnp.where(accept, 1.0, 0.0)
+
+            # record post-burn-in samples: stage in VMEM, DMA to HBM
+            rec = jnp.logical_and(t >= num_burnin_iters,
+                                  (t - num_burnin_iters) % record_thin == 0)
+
+            @pl.when(rec)
+            def _():
+                stage_ref[:P, :] = theta
+                idx = (t - num_burnin_iters) // record_thin
+                dma = pltpu.make_async_copy(
+                    stage_ref,
+                    samples_ref.at[idx, :, pl.ds(i_blk * chain_block, chain_block)],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return (theta, val, grad, acc)
+
+        theta, val, grad, acc = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        final_ref[:, :] = theta
+        acc_ref[:, :] = acc
+
+    def fn(seed, theta0s):
+        theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
+        C = theta0s.shape[0]
+        if C % chain_block != 0:
+            raise ValueError(f"{C} chains not a multiple of chain_block {chain_block}")
+        num_blocks = C // chain_block
+        theta_t = theta0s.T  # [P, C]
+
+        samples, final, acc = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, d_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, k_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((P, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((P_pad, chain_block), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(jnp.asarray([seed], jnp.int32), theta_t,
+          jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
+          jnp.asarray(loc), jnp.asarray(ivar))
+        # [kept, P_pad, C] -> [kept, C, P]
+        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc[0]
+
+    return fn

@@ -51,6 +51,25 @@ def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys):
     return run
 
 
+def _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, vmapped):
+    """Per-kernel jit cache: repeated runs with the same iteration plan reuse
+    the compiled program instead of retracing a fresh closure."""
+    cache = getattr(kernel, "_jit_cache", None)
+    if cache is None:
+        cache = kernel._jit_cache = {}
+    # keyed on the schedule's identity (its arrays are baked into the traced
+    # program as constants); the cache entry keeps the schedule alive so ids
+    # cannot be recycled
+    cache_key = (id(schedule), num_iters, num_burnin_iters, record_keys, vmapped,
+                 kernel.recompute_current, getattr(kernel, "num_burnin_iters", None))
+    if cache_key not in cache:
+        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
+        if vmapped:
+            fn = jax.vmap(fn)
+        cache[cache_key] = (jax.jit(fn), schedule)
+    return cache[cache_key][0]
+
+
 def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
                  record_keys=None, jit=True, return_state=False):
     """Run one chain; returns a ChainList of the post-burn-in states.
@@ -64,9 +83,10 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
         kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
     record_keys = tuple(record_keys or kernel.state_keys)
 
-    fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
     if jit:
-        fn = jax.jit(fn)
+        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, False)
+    else:
+        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
     state, recorded = fn(key, jnp.asarray(theta0))
     chain = ChainList.from_arrays({k: np.asarray(v) for k, v in recorded.items()})
     return (chain, state) if return_state else chain
@@ -90,9 +110,10 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
     num_chains = theta0s.shape[0]
     keys = jax.random.split(key, num_chains)
 
-    fn = jax.vmap(run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys))
     if jit:
-        fn = jax.jit(fn)
+        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, True)
+    else:
+        fn = jax.vmap(run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys))
     state, recorded = fn(keys, theta0s)
 
     if return_arrays:
