@@ -100,6 +100,50 @@ class TestChainFile:
         np.testing.assert_allclose(back.get_samples(), arrays["sample"], rtol=1e-15)
 
 
+class TestCheckpoint:
+    def test_full_sampler_state_roundtrip(self, tmp_path):
+        """Resume an HMC run mid-flight: tuner averages, step size and RNG-
+        derived state all survive the checkpoint (the reference loses them,
+        SURVEY.md section 5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from eeyore_tpu.chains import load_state, save_state
+        from eeyore_tpu.models import DistributionModel
+        from eeyore_tpu.samplers import HMC, sample_chain
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        model = DistributionModel(lambda t, x, y: -0.5 * jnp.sum(t**2), num_params=2)
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        kern = HMC(model, tuner=HMCDATuner(l=1.0, e0=0.2))
+        chain, state = sample_chain(kern, jax.random.PRNGKey(0), jnp.ones(2),
+                                    data, 200, 100, return_state=True)
+        save_state(tmp_path / "ckpt.npz", state)
+
+        fresh = kern.init(jnp.ones(2), *data)
+        restored = load_state(tmp_path / "ckpt.npz", fresh)
+        assert float(restored.step) == float(state.step)
+        assert float(restored.tuner.logbare) == float(state.tuner.logbare)
+        np.testing.assert_array_equal(np.asarray(restored.sample), np.asarray(state.sample))
+
+    def test_vmapped_state_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from eeyore_tpu.chains import load_state, save_state
+        from eeyore_tpu.models import DistributionModel
+        from eeyore_tpu.samplers import MALA, sample_chains
+
+        model = DistributionModel(lambda t, x, y: -0.5 * jnp.sum(t**2), num_params=2)
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        kern = MALA(model, step=0.3)
+        _, state = sample_chains(kern, jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                                 data, 50, 0, return_state=True)
+        save_state(tmp_path / "ckpt.npz", state)
+        restored = load_state(tmp_path / "ckpt.npz", state)
+        np.testing.assert_array_equal(np.asarray(restored.sample), np.asarray(state.sample))
+
+
 class TestChainLists:
     def test_from_chain_list_and_stats(self):
         chains = [make_chain(300, 2, seed=s) for s in range(4)]
