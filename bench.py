@@ -69,7 +69,7 @@ def bench_resident(num_chains, num_iters, repeats=3):
     x, y = np.asarray(schedule.x[0]), np.asarray(schedule.y[0])
     fn = jax.jit(make_resident_hmc(model, x, y, step=0.05, num_steps=10,
                                    num_iters=num_iters, num_burnin_iters=0,
-                                   chain_block=2048))
+                                   chain_block=8192))
     theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                       (num_chains, model.num_params), dtype=jnp.float32)
     samples, final, acc = fn(7, theta0s)
@@ -121,7 +121,7 @@ def bench_scanned(num_chains, num_iters, repeats=3):
     return best, elapsed
 
 
-def bench(num_chains=32768, num_iters=256, repeats=3):
+def bench(num_chains=131072, num_iters=256, repeats=3):
     try:
         return bench_resident(num_chains, num_iters, repeats)
     except Exception as err:
@@ -131,7 +131,7 @@ def bench(num_chains=32768, num_iters=256, repeats=3):
 
 
 def main():
-    num_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    num_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     num_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     sps, elapsed = bench(num_chains, num_iters)
     baseline = load_baseline()
