@@ -6,9 +6,12 @@ Writes benchmarks/RESULTS.md. Run on the TPU (default platform) or CPU.
 """
 
 import json
+import sys
 import time
 
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +144,6 @@ def scaling_efficiency():
     multi-chip proxy available in this container; the sharded program is the
     same one a real pod slice runs)."""
     import subprocess
-    import sys
 
     code = r"""
 import os, time, json
@@ -173,7 +175,7 @@ base = out[1]
 print(json.dumps({str(k): {"sps": v, "efficiency": v/(base*k)} for k, v in out.items()}))
 """
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                         timeout=1800)
+                         timeout=1800, cwd=str(Path(__file__).resolve().parent.parent))
     lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
     return json.loads(lines[-1]) if lines else {"error": res.stderr[-500:]}
 

@@ -1,0 +1,41 @@
+"""Tempered SMC over the Bayesian MLP(2,2,1) XOR posterior: 16k+ particles
+annealed from the prior with ESS-triggered systematic resampling, MALA
+mutations, and a model-evidence estimate.
+
+The north-star extension of the reference's power-posterior sampler
+(BASELINE.md config 5): importance-weighted resampling at particle counts
+the reference's serial chain loop cannot reach.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeyore_tpu.models import MLP, loss_functions, mlp
+from eeyore_tpu.samplers import SMCSampler
+
+
+def main(num_particles=16384):
+    x = jnp.asarray([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=jnp.float32)
+    y = jnp.asarray([[0.], [1.], [1.], [0.]], dtype=jnp.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=jnp.float32)
+
+    betas = [(i / 20) ** 4 for i in range(21)]  # the reference's quartic ladder, 20 rungs
+    smc = SMCSampler(model, num_particles=num_particles, betas=betas,
+                     mutation="MALA", mutation_step=0.05, num_mutation_steps=5)
+    state, diags = smc.run(jax.random.PRNGKey(0), (x, y))
+
+    print(f"{num_particles} particles through {len(betas)-1} tempering stages")
+    print("per-stage ESS:", np.round(diags["ess"]).astype(int).tolist())
+    print("resampled at stages:", np.where(diags["resampled"])[0].tolist())
+    print("mutation acceptance:", np.round(diags["mutation_acceptance"], 3).tolist())
+    print(f"log evidence estimate: {diags['log_evidence']:.3f}")
+
+    post_mean = SMCSampler.estimate(state)
+    preds = model.forward(jnp.asarray(post_mean), x)
+    print("posterior-mean XOR predictions:", np.asarray(preds).round(2).ravel())
+
+
+if __name__ == "__main__":
+    main()

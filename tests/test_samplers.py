@@ -118,6 +118,22 @@ class TestVmappedChains:
         assert not np.allclose(s[0], s[1])
 
 
+class TestMonitor:
+    def test_summarize_run(self):
+        from eeyore_tpu.samplers import summarize_run
+
+        kern = HMC(bvn_model(), tuner=HMCDATuner(l=1.0, e0=0.2))
+        theta0s = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+        arrays, state = sample_chains(kern, KEY, theta0s, EMPTY, 600, 300,
+                                      return_arrays=True, return_state=True)
+        summary = summarize_run(arrays, state)
+        assert 0.2 < summary["acceptance_mean"] <= 1.0
+        assert summary["num_stuck_chains"] == 0
+        assert summary["num_diverged_chains"] == 0
+        assert summary["tuned_step"]["mean"] > 0
+        assert summary["tuned_num_steps"]["max"] >= 1
+
+
 class TestMinibatchMode:
     def test_recompute_current_runs(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (32, 2))
