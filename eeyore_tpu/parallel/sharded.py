@@ -62,6 +62,43 @@ def sample_chains_sharded(kernel, key, theta0s, data, num_iters, num_burnin_iter
     return recorded, state
 
 
+def run_resident_hmc_sharded(model, x, y, key_seed, theta0s, step, num_steps,
+                             num_iters, num_burnin_iters=0, chain_block=2048,
+                             mesh=None, axis_name="chains"):
+    """The VMEM-resident whole-loop HMC kernel (ops/resident_hmc.py) sharded
+    over the mesh's chain axis: each device runs the Pallas kernel on its
+    local chain chunk (chains are independent — zero collectives).
+
+    Returns (samples [kept, C, P], final [C, P], accept_counts [C]), sharded
+    on the chain axis.
+    """
+    from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+    from eeyore_tpu.parallel.mesh import chain_mesh
+
+    mesh = mesh or chain_mesh(axis_name=axis_name)
+    n_shards = mesh.shape[axis_name]
+    theta0s = jnp.asarray(theta0s)
+    C = theta0s.shape[0]
+    if C % (n_shards * chain_block) != 0:
+        raise ValueError(f"{C} chains must divide over {n_shards} shards of "
+                         f"chain_block {chain_block}")
+
+    fn = make_resident_hmc(model, x, y, step=step, num_steps=num_steps,
+                           num_iters=num_iters, num_burnin_iters=num_burnin_iters,
+                           chain_block=chain_block)
+
+    def shard_body(theta_block):
+        dev = jax.lax.axis_index(axis_name)
+        return fn(key_seed + dev * 7919, theta_block)
+
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
+    )
+    return jax.jit(sharded)(theta0s)
+
+
 # ----------------------------------------------------------------------
 # collective helpers
 # ----------------------------------------------------------------------
