@@ -95,6 +95,9 @@ def run_resident_hmc_sharded(model, x, y, key_seed, theta0s, step, num_steps,
         shard_body, mesh=mesh,
         in_specs=(P(axis_name),),
         out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
+        # pallas_call outputs carry no vma annotation; chains are independent
+        # so the varying-axis check adds nothing here
+        check_vma=False,
     )
     return jax.jit(sharded)(theta0s)
 
