@@ -62,6 +62,9 @@ class XYDataset:
     @classmethod
     def from_eeyore(cls, data_name, xndmin=2, yndmin=2, dtype=np.float64, xonehot=False, yonehot=False):
         """Load a bundled dataset (xor / iris / banknotes) by name."""
+        if data_name not in data_paths:
+            raise ValueError(
+                f"unknown bundled dataset {data_name!r}; available: {sorted(data_paths)}")
         return cls.from_file(path=data_paths[data_name], xndmin=xndmin, yndmin=yndmin,
                              dtype=dtype, xonehot=xonehot, yonehot=yonehot)
 

@@ -43,6 +43,11 @@ class Gibbs(TransitionKernel):
 
     def __init__(self, model, scales=1.0, node_subblock_size=None, recompute_current=False):
         super().__init__(model, recompute_current=recompute_current)
+        if not hasattr(model, "num_par_blocks"):
+            raise ValueError(
+                "Gibbs needs a model exposing parameter blocks "
+                "(num_par_blocks / par_block_indices, e.g. eeyore_tpu.models.MLP); "
+                f"{type(model).__name__} does not")
         num_blocks = model.num_par_blocks()
 
         if isinstance(scales, float):
