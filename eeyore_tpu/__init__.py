@@ -21,4 +21,17 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from eeyore_tpu import chains, datasets, integrators, kernels, linalg, models, ops, samplers, stats, tuners
+from eeyore_tpu import (
+    chains,
+    datasets,
+    integrators,
+    kernels,
+    linalg,
+    models,
+    ops,
+    parallel,
+    samplers,
+    stats,
+    tuners,
+    utils,
+)

@@ -44,12 +44,19 @@ def _normal(shape):
 
 
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
-                      chain_block=2048, record_thin=1):
+                      chain_block=2048, record_thin=1, tuner=None, max_num_steps=64):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
     ``kept = (num_iters - num_burnin_iters) // record_thin``. C must be a
     multiple of ``chain_block`` (which should be a multiple of 128).
+
+    With a ``tuner`` (HMCDATuner config), dual averaging runs INSIDE the
+    kernel during burn-in, driven by the population-mean acceptance of each
+    chain block (the scalar step and trajectory length stay uniform across
+    the block, so the leapfrog trip count never diverges between lanes);
+    the last burn-in iteration freezes the averaged step, exactly as the
+    reference's tuner hand-off (hmc.py:158-163).
     """
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature)
@@ -80,33 +87,62 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
         stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
 
+        step0 = jnp.float32(step)
+        n_steps0 = jnp.int32(num_steps)
+        tuner_m = jnp.log(10.0 * step0)
+        barh0 = jnp.float32(0.0)
+        logbare0 = jnp.float32(0.0)
+
         def iteration(t, carry):
-            theta, val, grad, acc = carry
+            theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare = carry
             mom = _normal(theta.shape)
             h_cur = -val + 0.5 * jnp.sum(mom * mom, axis=0, keepdims=True)
 
             # leapfrog
-            p_half = mom + 0.5 * step * grad
+            p_half = mom + 0.5 * cur_step * grad
 
             def lf_body(s, c):
                 th, pm, v, g = c
-                th = th + step * pm
+                th = th + cur_step * pm
                 v, g = vg(th)
-                factor = jnp.where(s == num_steps - 1, 0.5, 1.0)
-                pm = pm + factor * step * g
+                factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
+                pm = pm + factor * cur_step * g
                 return (th, pm, v, g)
 
             th, pm, v, g = jax.lax.fori_loop(
-                0, num_steps, lf_body, (theta, p_half, val, grad))
+                0, cur_n_steps, lf_body, (theta, p_half, val, grad))
 
             h_prop = -v + 0.5 * jnp.sum(pm * pm, axis=0, keepdims=True)
+            rates = jnp.minimum(jnp.exp(h_cur - h_prop), 1.0)
             u = _uniform(h_prop.shape)
-            accept = jnp.log(u) < (h_cur - h_prop)
+            accept = u < rates
 
             theta = jnp.where(accept, th, theta)
             val = jnp.where(accept, v, val)
             grad = jnp.where(accept, g, grad)
             acc = acc + jnp.where(accept, 1.0, 0.0)
+
+            if tuner is not None:
+                # population dual averaging (Hoffman-Gelman Alg 5 on the
+                # block-mean acceptance), frozen after burn-in
+                it = (t + 1).astype(jnp.float32)
+                d_w = 1.0 / (it + tuner.t0)
+                e_w = it ** (-tuner.k)
+                mean_rate = jnp.mean(rates)
+                new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - mean_rate)
+                loge = tuner_m - jnp.sqrt(it) * new_barh / tuner.g
+                if tuner.eub is not None:
+                    loge = jnp.minimum(loge, jnp.float32(math.log(tuner.eub)))
+                new_logbare = e_w * loge + (1.0 - e_w) * logbare
+                last_burnin = t == num_burnin_iters - 1
+                new_step = jnp.where(last_burnin, jnp.exp(new_logbare), jnp.exp(loge))
+                new_n_steps = jnp.clip(
+                    jnp.round(tuner.l / new_step).astype(jnp.int32), 1, max_num_steps)
+                tune_now = t < num_burnin_iters
+                barh = jnp.where(tune_now, new_barh, barh)
+                logbare = jnp.where(tune_now, new_logbare, logbare)
+                cur_step = jnp.where(tune_now, new_step, cur_step)
+                cur_n_steps = jnp.where(tune_now, new_n_steps, cur_n_steps)
 
             # record post-burn-in samples: stage in VMEM, DMA to HBM
             rec = jnp.logical_and(t >= num_burnin_iters,
@@ -124,10 +160,11 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
                 dma.start()
                 dma.wait()
 
-            return (theta, val, grad, acc)
+            return (theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare)
 
-        theta, val, grad, acc = jax.lax.fori_loop(
-            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        theta, val, grad, acc, *_ = jax.lax.fori_loop(
+            0, num_iters, iteration,
+            (theta0, val0, grad0, acc0, step0, n_steps0, barh0, logbare0))
         final_ref[:, :] = theta
         acc_ref[:, :] = acc
 

@@ -232,6 +232,25 @@ class TestPowerPosterior:
         np.testing.assert_allclose(P.sum(axis=1), np.ones(6), rtol=1e-12)
         assert np.all(np.diag(P) == 0)
 
+    def test_equal_temperature_swaps_always_accept(self):
+        """With an all-equal temperature ladder, the even/odd swap log-rate is
+        exactly 0 (pi_i == pi_j), so every valid pair must swap — pins the
+        cross-temperature log-rate algebra."""
+        pp = PowerPosteriorSampler(bvn_model(), num_chains=4, sampler="MALA",
+                                   sampler_kwargs={"step": 0.3},
+                                   temperature=[1.0, 1.0, 1.0, 1.0],
+                                   between_step=1, swap_scheme="even_odd")
+        x, y = EMPTY
+        state = pp.init(jnp.asarray([[0., 0.], [1., 1.], [2., 2.], [3., 3.]]), x, y)
+        inner = pp._between_moves_even_odd(jax.random.PRNGKey(0), state.inner, x, y,
+                                           jnp.asarray(0))
+        # parity 0 pairs: (0,1), (2,3) -> samples exchanged
+        s = np.asarray(inner.sample)
+        np.testing.assert_allclose(s[0], [1.0, 1.0])
+        np.testing.assert_allclose(s[1], [0.0, 0.0])
+        np.testing.assert_allclose(s[2], [3.0, 3.0])
+        np.testing.assert_allclose(s[3], [2.0, 2.0])
+
     def test_mh_ladder(self):
         pp = PowerPosteriorSampler(bvn_model(), num_chains=3,
                                    sampler="MetropolisHastings",
