@@ -127,7 +127,7 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
                 # block-mean acceptance), frozen after burn-in
                 it = (t + 1).astype(jnp.float32)
                 d_w = 1.0 / (it + tuner.t0)
-                e_w = it ** (-tuner.k)
+                e_w = jnp.exp(-tuner.k * jnp.log(it))  # it**-k (Mosaic has no powf)
                 mean_rate = jnp.mean(rates)
                 new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - mean_rate)
                 loge = tuner_m - jnp.sqrt(it) * new_barh / tuner.g
