@@ -1,0 +1,192 @@
+"""On-device validation + throughput for the VMEM-resident Pallas kernels
+(ops/resident_hmc.py, ops/resident_walk.py) against the scanned XLA paths.
+
+For each sampler the resident kernel and the scanned jit(vmap(scan)) kernel
+run the SAME statistical problem (BASELINE.md configs 1-3); we check pooled
+posterior means agree within cross-chain Monte-Carlo error and acceptance
+rates within 0.02, then record samples/s and mean-chain-ESS/s for both paths.
+
+Writes benchmarks/RESIDENT_RESULTS.json and prints one JSON line per config.
+TPU-only (the on-core PRNG has no CPU lowering).
+"""
+
+import json
+import sys
+import time
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from eeyore_tpu import stats as st
+from eeyore_tpu.datasets import BatchSchedule, XYDataset
+from eeyore_tpu.models import MLP, loss_functions, mlp
+from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+from eeyore_tpu.ops.resident_walk import make_resident_mala, make_resident_mh
+from eeyore_tpu.samplers import HMC, MALA, MetropolisHastings
+from eeyore_tpu.samplers.runner import run_fn
+
+DT = jnp.float32
+C = 32768
+T = 2048
+BURNIN = 1024
+ESS_CHAINS = 24
+MOMENT_CHAINS = 2048
+
+
+def xor_data():
+    x = jnp.asarray([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=DT)
+    y = jnp.asarray([[0.], [1.], [1.], [0.]], dtype=DT)
+    return x, y
+
+
+def iris_data():
+    ds = XYDataset.from_eeyore("iris", yonehot=True)
+    return jnp.asarray(ds.x, DT), jnp.asarray(ds.y, DT)
+
+
+def mlp_model(dims, loss="binary_classification", acts=None):
+    hp = (mlp.Hyperparameters(dims=dims) if acts is None
+          else mlp.Hyperparameters(dims=dims, activations=acts))
+    return MLP(loss=loss_functions[loss], hparams=hp, dtype=DT)
+
+
+def summarize(samples, acc_rate, elapsed, num_chains, num_iters):
+    """samples: [n_chain_subset, kept, P] float64; acc_rate: scalar."""
+    chain_means = samples.mean(axis=1)               # [c, P]
+    pooled_mean = chain_means.mean(axis=0)
+    se = chain_means.std(axis=0, ddof=1) / np.sqrt(chain_means.shape[0])
+    ess = []
+    for c in range(min(ESS_CHAINS, samples.shape[0])):
+        try:
+            ess.append(st.multi_ess(samples[c], method="inse"))
+        except RuntimeError:
+            pass
+    mean_ess = float(np.mean(ess)) if ess else float("nan")
+    return {
+        "samples_per_s": num_chains * num_iters / elapsed,
+        "ess_per_s": mean_ess * num_chains / elapsed,
+        "mean_chain_ess": mean_ess,
+        "acceptance": float(acc_rate),
+        "pooled_mean": pooled_mean,
+        "mean_se": se,
+        "elapsed_s": elapsed,
+    }
+
+
+def run_resident(make_fn, model, num_iters=T, burnin=BURNIN, num_chains=C):
+    fn = jax.jit(make_fn)
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (num_chains, model.num_params), dtype=DT)
+    samples, final, acc = fn(7, theta0s)
+    jax.block_until_ready(final)
+    t0 = time.perf_counter()
+    samples, final, acc = fn(7, theta0s)
+    jax.block_until_ready(final)
+    elapsed = time.perf_counter() - t0
+    # samples: [kept, C, P] -> host subset [MOMENT_CHAINS, kept, P]
+    sub = np.asarray(samples[:, :MOMENT_CHAINS, :], dtype=np.float64)
+    sub = np.swapaxes(sub, 0, 1)
+    acc_rate = float(np.asarray(acc).mean()) / num_iters
+    return summarize(sub, acc_rate, elapsed, num_chains, num_iters)
+
+
+def run_scanned(kernel, data, num_iters=T, burnin=BURNIN, num_chains=C):
+    schedule = BatchSchedule.full_batch(*data)
+    kernel.recompute_current = False
+    if hasattr(kernel, "num_burnin_iters"):
+        kernel.num_burnin_iters = burnin
+    model = kernel.model
+    fn = jax.jit(jax.vmap(run_fn(kernel, schedule, num_iters, burnin,
+                                 ("sample", "accepted"))))
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, num_chains)
+    theta0s = 0.1 * jax.random.normal(key, (num_chains, model.num_params), dtype=DT)
+    state, rec = fn(keys, theta0s)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, rec = fn(keys, theta0s)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    sub = np.asarray(rec["sample"][:MOMENT_CHAINS], dtype=np.float64)
+    acc_rate = float(np.asarray(rec["accepted"], dtype=np.float64).mean())
+    return summarize(sub, acc_rate, elapsed, num_chains, num_iters)
+
+
+def compare(name, res, scan):
+    """Moment agreement: |mean_r - mean_s| < 6 * combined SE (+ f32 slack)."""
+    diff = np.abs(res["pooled_mean"] - scan["pooled_mean"])
+    tol = 6.0 * np.sqrt(res["mean_se"] ** 2 + scan["mean_se"] ** 2) + 1e-3
+    moments_ok = bool(np.all(diff < tol))
+    acc_ok = abs(res["acceptance"] - scan["acceptance"]) < 0.02
+    out = {
+        "config": name,
+        "resident_sps": round(res["samples_per_s"], 1),
+        "scanned_sps": round(scan["samples_per_s"], 1),
+        "speedup": round(res["samples_per_s"] / scan["samples_per_s"], 2),
+        "resident_ess_per_s": round(res["ess_per_s"], 1),
+        "scanned_ess_per_s": round(scan["ess_per_s"], 1),
+        "resident_acceptance": round(res["acceptance"], 4),
+        "scanned_acceptance": round(scan["acceptance"], 4),
+        "max_moment_diff": float(diff.max()),
+        "max_moment_tol": float(tol.max()),
+        "moments_match": moments_ok,
+        "acceptance_match": acc_ok,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu", "resident kernels are TPU-only"
+    results = {}
+
+    # config 1: MH on mlp221 / XOR, scale 0.1
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    res = run_resident(make_resident_mh(model, np.asarray(x), np.asarray(y),
+                                        scale=0.1, num_iters=T,
+                                        num_burnin_iters=BURNIN, chain_block=8192),
+                       model)
+    scan = run_scanned(MetropolisHastings(model, scale=0.1), (x, y))
+    results["mh_mlp221_xor"] = compare("mh_mlp221_xor", res, scan)
+
+    # config 2: MALA on mlp2321 / XOR, step 0.01
+    model = mlp_model([2, 3, 2, 1])
+    # chain_block 4096: the unrolled forward+backward of the 23-param model
+    # holds ~18MB of [n_pad, chain_block] activations at 8192 — over the 16MB
+    # scoped-VMEM limit
+    res = run_resident(make_resident_mala(model, np.asarray(x), np.asarray(y),
+                                          step=0.01, num_iters=T,
+                                          num_burnin_iters=BURNIN, chain_block=4096),
+                       model)
+    scan = run_scanned(MALA(model, step=0.01), (x, y))
+    results["mala_mlp2321_xor"] = compare("mala_mlp2321_xor", res, scan)
+
+    # config 3 (fixed-step variant): HMC on mlp433 / iris
+    model = mlp_model([4, 3, 3], loss="multiclass_classification",
+                      acts=[mlp.sigmoid, None])
+    xi, yi = iris_data()
+    res = run_resident(make_resident_hmc(model, np.asarray(xi), np.asarray(yi),
+                                         step=0.02, num_steps=8, num_iters=T,
+                                         num_burnin_iters=BURNIN, chain_block=4096),
+                       model, num_chains=16384)
+    scan = run_scanned(HMC(model, step=0.02, num_steps=8), (xi, yi),
+                       num_chains=16384)
+    results["hmc_mlp433_iris"] = compare("hmc_mlp433_iris", res, scan)
+
+    out = Path(__file__).parent / "RESIDENT_RESULTS.json"
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

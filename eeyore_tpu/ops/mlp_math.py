@@ -79,11 +79,15 @@ def prepare_data(model, x, y):
 
 
 def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const,
-            temperature):
+            temperature, with_grad=True):
     """Build vg(theta [P, C], x, y, mask, loc, ivar) -> (val [1,C], grad [P,C]).
 
     x/y/mask/loc/ivar are passed per call so the same function body works on
     VMEM refs sliced to arrays inside a kernel or on plain jnp arrays.
+
+    With ``with_grad=False`` the backward pass is skipped entirely and the
+    returned function yields only ``val [1, C]`` — the random-walk MH path
+    (reference metropolis_hastings.py:44-54 needs no gradient).
     """
     dims, bias, loss_kind, layer_offsets = extract_arch(model)
     num_layers = len(dims) - 1
@@ -128,7 +132,8 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
                 yj = y[:, j][:, None]
                 log_lik = log_lik + jnp.sum(
                     (yj * z - jax.nn.softplus(z)) * mask, axis=0, keepdims=True)
-                deltas.append((yj - acts[-1][j]) * mask)
+                if with_grad:
+                    deltas.append((yj - acts[-1][j]) * mask)
         else:
             zmax = zs[-1][0]
             for j in range(1, k_out):
@@ -141,8 +146,16 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
             for j in range(k_out):
                 picked = picked + y[:, j][:, None] * zs[-1][j]
             log_lik = jnp.sum((picked - lse) * mask, axis=0, keepdims=True)
-            deltas = [(y[:, j][:, None] - jnp.exp(zs[-1][j] - lse)) * mask
-                      for j in range(k_out)]
+            if with_grad:
+                deltas = [(y[:, j][:, None] - jnp.exp(zs[-1][j] - lse)) * mask
+                          for j in range(k_out)]
+
+        diff = theta - loc
+        log_prior = jnp.sum(-0.5 * diff * diff * ivar, axis=0,
+                            keepdims=True) + prior_const
+        val = temperature * (log_lik + log_prior)
+        if not with_grad:
+            return val
 
         grad_rows = [None] * P
         for l in reversed(range(num_layers)):
@@ -164,11 +177,6 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
                 deltas = new_deltas
 
         grad = jnp.concatenate(grad_rows, axis=0)  # [P, C]
-
-        diff = theta - loc
-        log_prior = jnp.sum(-0.5 * diff * diff * ivar, axis=0,
-                            keepdims=True) + prior_const
-        val = temperature * (log_lik + log_prior)
         grad = temperature * (grad - diff * ivar)
         return val, grad
 

@@ -24,23 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
 from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
-
-
-def _uniform(shape):
-    """(0, 1] uniforms from raw PRNG bits (mantissa-fill trick)."""
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32)
-    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
-    return 1.0 - f  # (0, 1]
-
-
-def _normal(shape):
-    """Standard normals via Box-Muller."""
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(2.0 * math.pi * u2)
 
 
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,

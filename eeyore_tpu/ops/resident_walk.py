@@ -1,0 +1,202 @@
+"""VMEM-resident random-walk-family samplers: MALA and MH in one Pallas kernel.
+
+Same design as ops/resident_hmc.py — the ENTIRE sampling loop runs on-chip
+with chain state (theta, log-target, gradient) held in VMEM for the whole
+run, touching HBM once per recorded sample via an async DMA of the
+[P_pad, chain_block] staging tile. Layout: parameters on sublanes, chains on
+lanes; the log-posterior (+ gradient for MALA) comes from the shared
+chain-lane math in ops/mlp_math.py.
+
+Semantics match the scanned kernels exactly:
+- MALA (samplers/mala.py; reference /root/reference/eeyore/samplers/mala.py:35-66):
+  proposal mean theta + 0.5*step*grad, scale sqrt(step), full asymmetric
+  Hastings correction with the reverse kernel centered at the proposed drift.
+  The sqrt(step)-Normal log-density constants cancel between the forward and
+  reverse terms, so only the quadratic forms are computed.
+- MH (samplers/mh.py; reference metropolis_hastings.py:25-67): symmetric iid
+  Normal proposal of a fixed scale — no gradient at all, so the kernel uses
+  the value-only math (make_vg(with_grad=False)): one forward pass per
+  iteration, no backward.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
+from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
+
+
+def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
+                   record_thin, iteration_factory, with_grad):
+    """Shared scaffold: build fn(seed, theta0s [C, P]) ->
+    (samples [kept, C, P], final [C, P], accept_counts [C]).
+
+    ``iteration_factory(vg) -> iteration(theta, val, grad)`` returns the
+    proposal/accept step; ``grad`` is None when ``with_grad`` is False.
+    """
+    x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
+    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                      temperature, with_grad=with_grad)
+    P = model.num_params
+    P_pad = ((P + 7) // 8) * 8
+    n_pad, d_in = x_pad.shape
+    k_out = y_pad.shape[1]
+    kept = (num_iters - num_burnin_iters) // record_thin
+
+    def kernel(seed_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref, ivar_ref,
+               samples_ref, final_ref, acc_ref,
+               stage_ref, dma_sem):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+
+        xv = x_ref[:, :]
+        yv = y_ref[:, :]
+        maskv = mask_ref[:, :]
+        locv = loc_ref[:, :]
+        ivarv = ivar_ref[:, :]
+
+        def vg(theta):
+            return vg_math(theta, xv, yv, maskv, locv, ivarv)
+
+        move = iteration_factory(vg)
+
+        theta0 = theta_ref[:, :]
+        if with_grad:
+            val0, grad0 = vg(theta0)
+        else:
+            val0 = vg(theta0)
+            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+        acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
+
+        def iteration(t, carry):
+            theta, val, grad, acc = carry
+            theta, val, grad, accept = move(theta, val, grad)
+            acc = acc + jnp.where(accept, 1.0, 0.0)
+
+            rec = jnp.logical_and(t >= num_burnin_iters,
+                                  (t - num_burnin_iters) % record_thin == 0)
+
+            @pl.when(rec)
+            def _():
+                stage_ref[:P, :] = theta
+                idx = (t - num_burnin_iters) // record_thin
+                dma = pltpu.make_async_copy(
+                    stage_ref,
+                    samples_ref.at[idx, :, pl.ds(i_blk * chain_block, chain_block)],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return (theta, val, grad, acc)
+
+        theta, val, grad, acc = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        final_ref[:, :] = theta
+        acc_ref[:, :] = acc
+
+    def fn(seed, theta0s):
+        theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
+        C = theta0s.shape[0]
+        if C % chain_block != 0:
+            raise ValueError(f"{C} chains not a multiple of chain_block {chain_block}")
+        num_blocks = C // chain_block
+        theta_t = theta0s.T  # [P, C]
+
+        samples, final, acc = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, d_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, k_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((P, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((P_pad, chain_block), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(jnp.asarray([seed], jnp.int32), theta_t,
+          jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
+          jnp.asarray(loc), jnp.asarray(ivar))
+        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc[0]
+
+    return fn
+
+
+def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
+                       chain_block=2048, record_thin=1):
+    """Whole-loop MALA: one fused value-and-grad per iteration, asymmetric
+    Hastings correction, all state VMEM-resident."""
+    step = float(step)
+    sqrt_step = math.sqrt(step)
+
+    def factory(vg):
+        def move(theta, val, grad):
+            z = _normal(theta.shape)
+            fwd_mean = theta + 0.5 * step * grad
+            prop = fwd_mean + sqrt_step * z
+            v_p, g_p = vg(prop)
+            rev_mean = prop + 0.5 * step * g_p
+            d_rev = theta - rev_mean
+            # constants of the two sqrt(step)-Normal densities cancel;
+            # ||prop - fwd_mean||^2 = step * sum(z^2)
+            log_rate = (v_p - val
+                        - (0.5 / step) * jnp.sum(d_rev * d_rev, axis=0, keepdims=True)
+                        + 0.5 * jnp.sum(z * z, axis=0, keepdims=True))
+            u = _uniform(log_rate.shape)
+            accept = jnp.log(u) < log_rate
+            theta = jnp.where(accept, prop, theta)
+            val = jnp.where(accept, v_p, val)
+            grad = jnp.where(accept, g_p, grad)
+            return theta, val, grad, accept
+
+        return move
+
+    return _make_resident(model, x, y, num_iters, num_burnin_iters,
+                          chain_block, record_thin, factory, with_grad=True)
+
+
+def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
+                     chain_block=2048, record_thin=1):
+    """Whole-loop random-walk MH: symmetric iid-Normal proposal; value-only
+    math (no backward pass at all)."""
+    scale = float(scale)
+
+    def factory(v):
+        def move(theta, val, grad):
+            prop = theta + scale * _normal(theta.shape)
+            v_p = v(prop)
+            log_rate = v_p - val
+            u = _uniform(log_rate.shape)
+            accept = jnp.log(u) < log_rate
+            theta = jnp.where(accept, prop, theta)
+            val = jnp.where(accept, v_p, val)
+            return theta, val, grad, accept
+
+        return move
+
+    return _make_resident(model, x, y, num_iters, num_burnin_iters,
+                          chain_block, record_thin, factory, with_grad=False)

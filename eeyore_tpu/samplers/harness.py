@@ -67,7 +67,14 @@ class SamplerHarness:
             self.chain = ChainList(keys=self.kernel.state_keys)
 
     def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100):
-        """One jitted two-phase scan; epochs x batches iteration accounting."""
+        """One jitted two-phase scan; epochs x batches iteration accounting.
+
+        With no ``theta0`` given, the initial state is drawn from the model's
+        prior (the reference's ``benchmark`` init semantics,
+        serial_sampler.py:80)."""
+        if self.theta0 is None:
+            self.key, key_init = jax.random.split(self.key)
+            self.theta0 = self.get_model().prior.sample(key_init)
         self.counter.set_epoch_info(num_epochs, num_burnin_epochs)
         start = time.perf_counter()
         chain, state = sample_chain(

@@ -33,6 +33,15 @@ class TestRun:
         assert 0.3 < chain.acceptance_rate() < 1.0
         assert h.counter.num_iters == 1000
 
+    def test_default_theta0_samples_prior(self):
+        # no theta0: run() must fall back to a prior draw (reference
+        # serial_sampler.py:80 init semantics), not crash on jnp.asarray(None)
+        model, data = xor_mlp()
+        h = SamplerHarness(MALA(model, step=0.01), data)
+        chain = h.run(num_epochs=50, num_burnin_epochs=10)
+        assert len(chain) == 40
+        assert h.theta0.shape == (model.num_params,)
+
     def test_reset(self):
         h = SamplerHarness(MetropolisHastings(bvn_model(), scale=0.5), EMPTY,
                            theta0=jnp.zeros(2))

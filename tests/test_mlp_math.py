@@ -35,6 +35,71 @@ def test_bce_mlp221():
     check(model, x, y)
 
 
+def check_value_only(model, x, y, C=64):
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    v = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp, with_grad=False)
+    thetas = RNG.normal(size=(C, model.num_params)).astype(np.float32)
+    vals = v(jnp.asarray(thetas.T), jnp.asarray(x_pad), jnp.asarray(y_pad),
+             jnp.asarray(mask), jnp.asarray(loc), jnp.asarray(ivar))
+    ref_v = jax.vmap(
+        lambda t: model.log_target(t, jnp.asarray(x, jnp.float32),
+                                   jnp.asarray(y, jnp.float32))
+    )(jnp.asarray(thetas))
+    np.testing.assert_allclose(np.asarray(vals[0]), np.asarray(ref_v), rtol=2e-5, atol=2e-4)
+
+
+def test_value_only_bce_mlp221():
+    x = np.array([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=np.float32)
+    y = np.array([[0.], [1.], [1.], [0.]], dtype=np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=jnp.float32)
+    check_value_only(model, x, y)
+
+
+def test_value_only_ce_mlp433():
+    x = RNG.normal(size=(20, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 20)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    check_value_only(model, x, y)
+
+
+def test_resident_mala_log_rate_algebra():
+    """The resident MALA kernel drops the Normal log-density constants (they
+    cancel between the forward and reverse terms) and rewrites
+    ||prop - fwd_mean||^2 as step * ||z||^2. Pin that simplification against
+    the scanned MALA's full expression (samplers/mala.py:59-71)."""
+    import math
+
+    step = 0.037
+    P, C = 11, 5
+    theta = RNG.normal(size=(P, C))
+    grad = RNG.normal(size=(P, C))
+    g_p = RNG.normal(size=(P, C))
+    z = RNG.normal(size=(P, C))
+    v, v_p = RNG.normal(size=(1, C)), RNG.normal(size=(1, C))
+
+    fwd_mean = theta + 0.5 * step * grad
+    prop = fwd_mean + math.sqrt(step) * z
+    rev_mean = prop + 0.5 * step * g_p
+
+    def logq(xx, loc):
+        s = math.sqrt(step)
+        zz = (xx - loc) / s
+        return np.sum(-0.5 * zz * zz - math.log(s) - 0.5 * math.log(2 * math.pi),
+                      axis=0, keepdims=True)
+
+    full = v_p - v - logq(prop, fwd_mean) + logq(theta, rev_mean)
+
+    d_rev = theta - rev_mean
+    simplified = (v_p - v
+                  - (0.5 / step) * np.sum(d_rev * d_rev, axis=0, keepdims=True)
+                  + 0.5 * np.sum(z * z, axis=0, keepdims=True))
+    np.testing.assert_allclose(simplified, full, rtol=1e-10, atol=1e-10)
+
+
 def test_ce_mlp4323_mixed_bias():
     x = RNG.normal(size=(30, 4)).astype(np.float32)
     y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 30)]
