@@ -30,8 +30,12 @@ from eeyore_tpu import stats as st
 from eeyore_tpu.datasets import BatchSchedule, XYDataset
 from eeyore_tpu.models import MLP, loss_functions, mlp
 from eeyore_tpu.ops.resident_hmc import make_resident_hmc
-from eeyore_tpu.ops.resident_walk import make_resident_mala, make_resident_mh
-from eeyore_tpu.samplers import HMC, MALA, MetropolisHastings
+from eeyore_tpu.ops.resident_walk import (
+    make_resident_gibbs,
+    make_resident_mala,
+    make_resident_mh,
+)
+from eeyore_tpu.samplers import HMC, MALA, Gibbs, MetropolisHastings
 from eeyore_tpu.samplers.runner import run_fn
 
 DT = jnp.float32
@@ -145,11 +149,7 @@ def compare(name, res, scan):
     return out
 
 
-def main():
-    assert jax.devices()[0].platform != "cpu", "resident kernels are TPU-only"
-    results = {}
-
-    # config 1: MH on mlp221 / XOR, scale 0.1
+def config_mh():
     model = mlp_model([2, 2, 1])
     x, y = xor_data()
     res = run_resident(make_resident_mh(model, np.asarray(x), np.asarray(y),
@@ -157,10 +157,12 @@ def main():
                                         num_burnin_iters=BURNIN, chain_block=8192),
                        model)
     scan = run_scanned(MetropolisHastings(model, scale=0.1), (x, y))
-    results["mh_mlp221_xor"] = compare("mh_mlp221_xor", res, scan)
+    return compare("mh_mlp221_xor", res, scan)
 
-    # config 2: MALA on mlp2321 / XOR, step 0.01
+
+def config_mala():
     model = mlp_model([2, 3, 2, 1])
+    x, y = xor_data()
     # chain_block 4096: the unrolled forward+backward of the 23-param model
     # holds ~18MB of [n_pad, chain_block] activations at 8192 — over the 16MB
     # scoped-VMEM limit
@@ -169,22 +171,58 @@ def main():
                                           num_burnin_iters=BURNIN, chain_block=4096),
                        model)
     scan = run_scanned(MALA(model, step=0.01), (x, y))
-    results["mala_mlp2321_xor"] = compare("mala_mlp2321_xor", res, scan)
+    return compare("mala_mlp2321_xor", res, scan)
 
-    # config 3 (fixed-step variant): HMC on mlp433 / iris
+
+def config_hmc():
     model = mlp_model([4, 3, 3], loss="multiclass_classification",
                       acts=[mlp.sigmoid, None])
     xi, yi = iris_data()
+    # chain_block 2048: iris pads to 152 data rows, so each live [n_pad,
+    # chain_block] activation costs 1.2MB of VMEM at 2048 lanes
     res = run_resident(make_resident_hmc(model, np.asarray(xi), np.asarray(yi),
                                          step=0.02, num_steps=8, num_iters=T,
-                                         num_burnin_iters=BURNIN, chain_block=4096),
+                                         num_burnin_iters=BURNIN, chain_block=2048),
                        model, num_chains=16384)
     scan = run_scanned(HMC(model, step=0.02, num_steps=8), (xi, yi),
                        num_chains=16384)
-    results["hmc_mlp433_iris"] = compare("hmc_mlp433_iris", res, scan)
+    return compare("hmc_mlp433_iris", res, scan)
+
+
+def config_gibbs():
+    # report.py config-4 shapes (C=8192, T=1024, burnin=512) so the scanned
+    # side reuses the persistent-cache entry
+    model = mlp_model([4, 3, 2, 3], loss="multiclass_classification",
+                      acts=[mlp.sigmoid, mlp.sigmoid, None])
+    xi, yi = iris_data()
+    res = run_resident(make_resident_gibbs(model, np.asarray(xi), np.asarray(yi),
+                                           scales=0.1, num_iters=1024,
+                                           num_burnin_iters=512, chain_block=1024),
+                       model, num_iters=1024, num_chains=8192)
+    scan = run_scanned(Gibbs(model, scales=0.1), (xi, yi),
+                       num_iters=1024, burnin=512, num_chains=8192)
+    return compare("gibbs_mlp4323_iris", res, scan)
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu", "resident kernels are TPU-only"
+    results = {}
+    only = sys.argv[1:] or ["mh", "mala", "hmc", "gibbs"]
+    for name, fn in [("mh", config_mh), ("mala", config_mala), ("hmc", config_hmc),
+                     ("gibbs", config_gibbs)]:
+        if name not in only:
+            continue
+        try:
+            results[name] = fn()
+        except Exception as err:  # keep going; partial results still useful
+            results[name] = {"error": f"{type(err).__name__}: {err}"[:500]}
+            print(json.dumps({"config": name, "error": results[name]["error"]}),
+                  flush=True)
 
     out = Path(__file__).parent / "RESIDENT_RESULTS.json"
-    out.write_text(json.dumps(results, indent=2) + "\n")
+    prior = json.loads(out.read_text()) if out.exists() else {}
+    prior.update(results)
+    out.write_text(json.dumps(prior, indent=2) + "\n")
     print("wrote", out)
 
 

@@ -23,6 +23,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -32,12 +33,13 @@ from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
 
 
 def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
-                   record_thin, iteration_factory, with_grad):
+                   record_thin, iteration_factory, with_grad, acc_rows=1):
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
-    (samples [kept, C, P], final [C, P], accept_counts [C]).
+    (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
 
-    ``iteration_factory(vg) -> iteration(theta, val, grad)`` returns the
-    proposal/accept step; ``grad`` is None when ``with_grad`` is False.
+    ``iteration_factory(vg) -> move(theta, val, grad, acc)`` returns the
+    proposal/accept step; ``grad`` is a dummy when ``with_grad`` is False.
+    ``acc_rows`` > 1 gives per-sub-move acceptance counters (blocked Gibbs).
     """
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
@@ -71,13 +73,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         else:
             val0 = vg(theta0)
             grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
-        acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+        acc0 = jnp.zeros((acc_rows, theta0.shape[1]), dtype=jnp.float32)
         stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
 
         def iteration(t, carry):
             theta, val, grad, acc = carry
-            theta, val, grad, accept = move(theta, val, grad)
-            acc = acc + jnp.where(accept, 1.0, 0.0)
+            theta, val, grad, acc = move(theta, val, grad, acc)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
@@ -124,12 +125,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
                 pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((acc_rows, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
                 jax.ShapeDtypeStruct((P, C), jnp.float32),
-                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((acc_rows, C), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((P_pad, chain_block), jnp.float32),
@@ -141,7 +142,8 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         )(jnp.asarray([seed], jnp.int32), theta_t,
           jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
           jnp.asarray(loc), jnp.asarray(ivar))
-        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc[0]
+        acc_out = acc[0] if acc_rows == 1 else acc.T  # [C] or [C, acc_rows]
+        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc_out
 
     return fn
 
@@ -154,7 +156,7 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
     sqrt_step = math.sqrt(step)
 
     def factory(vg):
-        def move(theta, val, grad):
+        def move(theta, val, grad, acc):
             z = _normal(theta.shape)
             fwd_mean = theta + 0.5 * step * grad
             prop = fwd_mean + sqrt_step * z
@@ -171,7 +173,7 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
             grad = jnp.where(accept, g_p, grad)
-            return theta, val, grad, accept
+            return theta, val, grad, acc + jnp.where(accept, 1.0, 0.0)
 
         return move
 
@@ -186,7 +188,7 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
     scale = float(scale)
 
     def factory(v):
-        def move(theta, val, grad):
+        def move(theta, val, grad, acc):
             prop = theta + scale * _normal(theta.shape)
             v_p = v(prop)
             log_rate = v_p - val
@@ -194,9 +196,57 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
             accept = jnp.log(u) < log_rate
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
-            return theta, val, grad, accept
+            return theta, val, grad, acc + jnp.where(accept, 1.0, 0.0)
 
         return move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False)
+
+
+def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
+                        num_iters=1000, num_burnin_iters=0,
+                        chain_block=1024, record_thin=1):
+    """Whole-loop blocked Metropolis-within-Gibbs (samplers/gibbs.py
+    semantics; reference gibbs.py:73-96): one systematic sweep per iteration
+    over the model's static node (sub-)blocks, each proposed with a
+    per-block-scale Normal on just those coordinates and accepted with a
+    full-log-target MH test — value-only math, no gradients anywhere.
+
+    The sweep is UNROLLED over sub-blocks (their count and index masks are
+    static per architecture), so each sub-block move is a masked [P, C]
+    perturbation + one forward pass. Returns per-chain PER-SUB-BLOCK
+    acceptance counts [C, num_sub_blocks] (the reference's
+    block_acceptance_rate, chain_list.py:98-99). Rejected coordinates are
+    restored before the next sub-block proposal (fixing the reference's
+    rejected-coordinate leak — see samplers/gibbs.py docstring).
+    """
+    from eeyore_tpu.samplers.gibbs import Gibbs
+
+    blocking = Gibbs(model, scales=scales, node_subblock_size=node_subblock_size)
+    P = model.num_params
+    subs = []
+    for i, (indices, scale) in enumerate(blocking._sub_blocks):
+        mask = np.zeros((P, 1), dtype=np.float32)
+        mask[np.asarray(indices, dtype=np.int64)] = 1.0
+        onehot = np.zeros((blocking.num_sub_blocks, 1), dtype=np.float32)
+        onehot[i] = 1.0
+        subs.append((jnp.asarray(float(scale) * mask), jnp.asarray(onehot)))
+
+    def factory(v):
+        def move(theta, val, grad, acc):
+            for scaled_mask, onehot in subs:
+                prop = theta + scaled_mask * _normal(theta.shape)
+                v_p = v(prop)
+                u = _uniform(v_p.shape)
+                accept = jnp.log(u) < v_p - val
+                theta = jnp.where(accept, prop, theta)
+                val = jnp.where(accept, v_p, val)
+                acc = acc + onehot * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, acc
+
+        return move
+
+    return _make_resident(model, x, y, num_iters, num_burnin_iters,
+                          chain_block, record_thin, factory, with_grad=False,
+                          acc_rows=blocking.num_sub_blocks)
