@@ -99,7 +99,7 @@ def run_resident(make_fn, model, num_iters=T, burnin=BURNIN, num_chains=C):
     # samples: [kept, C, P] -> host subset [MOMENT_CHAINS, kept, P]
     sub = np.asarray(samples[:, :MOMENT_CHAINS, :], dtype=np.float64)
     sub = np.swapaxes(sub, 0, 1)
-    acc_rate = float(np.asarray(acc).mean()) / num_iters
+    acc_rate = float(np.asarray(acc).mean()) / max(num_iters - burnin, 1)
     return summarize(sub, acc_rate, elapsed, num_chains, num_iters)
 
 
@@ -178,11 +178,12 @@ def config_hmc():
     model = mlp_model([4, 3, 3], loss="multiclass_classification",
                       acts=[mlp.sigmoid, None])
     xi, yi = iris_data()
-    # chain_block 2048: iris pads to 152 data rows, so each live [n_pad,
-    # chain_block] activation costs 1.2MB of VMEM at 2048 lanes
+    # chain_block 1024: the iris CE forward+backward keeps ~20 live
+    # [152, chain_block] arrays in the leapfrog body — 2048 lanes blows the
+    # 16MB scoped-VMEM budget (measured 26.9M)
     res = run_resident(make_resident_hmc(model, np.asarray(xi), np.asarray(yi),
                                          step=0.02, num_steps=8, num_iters=T,
-                                         num_burnin_iters=BURNIN, chain_block=2048),
+                                         num_burnin_iters=BURNIN, chain_block=1024),
                        model, num_chains=16384)
     scan = run_scanned(HMC(model, step=0.02, num_steps=8), (xi, yi),
                        num_chains=16384)
@@ -198,7 +199,7 @@ def config_gibbs():
     res = run_resident(make_resident_gibbs(model, np.asarray(xi), np.asarray(yi),
                                            scales=0.1, num_iters=1024,
                                            num_burnin_iters=512, chain_block=1024),
-                       model, num_iters=1024, num_chains=8192)
+                       model, num_iters=1024, burnin=512, num_chains=8192)
     scan = run_scanned(Gibbs(model, scales=0.1), (xi, yi),
                        num_iters=1024, burnin=512, num_chains=8192)
     return compare("gibbs_mlp4323_iris", res, scan)
@@ -215,7 +216,7 @@ def main():
         try:
             results[name] = fn()
         except Exception as err:  # keep going; partial results still useful
-            results[name] = {"error": f"{type(err).__name__}: {err}"[:500]}
+            results[name] = {"error": f"{type(err).__name__}: {err}"[:20000]}
             print(json.dumps({"config": name, "error": results[name]["error"]}),
                   flush=True)
 

@@ -105,7 +105,8 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
             theta = jnp.where(accept, th, theta)
             val = jnp.where(accept, v, val)
             grad = jnp.where(accept, g, grad)
-            acc = acc + jnp.where(accept, 1.0, 0.0)
+            # post-burn-in acceptance counters (scanned-chain semantics)
+            acc = acc + jnp.where(t >= num_burnin_iters, 1.0, 0.0) * jnp.where(accept, 1.0, 0.0)
 
             if tuner is not None:
                 # population dual averaging (Hoffman-Gelman Alg 5 on the

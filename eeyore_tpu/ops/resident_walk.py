@@ -1,4 +1,5 @@
-"""VMEM-resident random-walk-family samplers: MALA and MH in one Pallas kernel.
+"""VMEM-resident gradient-light samplers: MALA, MH, and blocked Gibbs, each
+as one whole-loop Pallas kernel.
 
 Same design as ops/resident_hmc.py — the ENTIRE sampling loop runs on-chip
 with chain state (theta, log-target, gradient) held in VMEM for the whole
@@ -33,13 +34,17 @@ from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
 
 
 def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
-                   record_thin, iteration_factory, with_grad, acc_rows=1):
+                   record_thin, iteration_factory, with_grad, acc_rows=1,
+                   consts=()):
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
 
-    ``iteration_factory(vg) -> move(theta, val, grad, acc)`` returns the
-    proposal/accept step; ``grad`` is a dummy when ``with_grad`` is False.
-    ``acc_rows`` > 1 gives per-sub-move acceptance counters (blocked Gibbs).
+    ``iteration_factory(vg, const_vals) -> move(theta, val, grad, acc, gate)``
+    returns the proposal/accept step; ``grad`` is a dummy when ``with_grad``
+    is False. ``acc_rows`` > 1 gives per-sub-move acceptance counters
+    (blocked Gibbs). ``consts`` is a tuple of 2D float32 numpy arrays shipped
+    to the kernel as broadcast VMEM inputs (Pallas kernels cannot capture
+    traced array constants) and handed to the factory as loaded values.
     """
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
@@ -49,10 +54,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     n_pad, d_in = x_pad.shape
     k_out = y_pad.shape[1]
     kept = (num_iters - num_burnin_iters) // record_thin
+    consts = tuple(np.asarray(c, dtype=np.float32) for c in consts)
 
     def kernel(seed_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref, ivar_ref,
-               samples_ref, final_ref, acc_ref,
-               stage_ref, dma_sem):
+               *rest):
+        const_refs = rest[:len(consts)]
+        samples_ref, final_ref, acc_ref, stage_ref, dma_sem = rest[len(consts):]
         i_blk = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i_blk)
 
@@ -61,11 +68,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         maskv = mask_ref[:, :]
         locv = loc_ref[:, :]
         ivarv = ivar_ref[:, :]
+        const_vals = tuple(r[:, :] for r in const_refs)
 
         def vg(theta):
             return vg_math(theta, xv, yv, maskv, locv, ivarv)
 
-        move = iteration_factory(vg)
+        move = iteration_factory(vg, const_vals)
 
         theta0 = theta_ref[:, :]
         if with_grad:
@@ -78,7 +86,10 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
 
         def iteration(t, carry):
             theta, val, grad, acc = carry
-            theta, val, grad, acc = move(theta, val, grad, acc)
+            # acceptance counters are post-burn-in (the scanned chains'
+            # acceptance_rate semantics)
+            gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
+            theta, val, grad, acc = move(theta, val, grad, acc, gate)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
@@ -121,6 +132,9 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                 pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                for c in consts
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
@@ -141,7 +155,8 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
             ),
         )(jnp.asarray([seed], jnp.int32), theta_t,
           jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
-          jnp.asarray(loc), jnp.asarray(ivar))
+          jnp.asarray(loc), jnp.asarray(ivar),
+          *[jnp.asarray(c) for c in consts])
         acc_out = acc[0] if acc_rows == 1 else acc.T  # [C] or [C, acc_rows]
         return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc_out
 
@@ -155,8 +170,8 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
     step = float(step)
     sqrt_step = math.sqrt(step)
 
-    def factory(vg):
-        def move(theta, val, grad, acc):
+    def factory(vg, _consts):
+        def move(theta, val, grad, acc, gate):
             z = _normal(theta.shape)
             fwd_mean = theta + 0.5 * step * grad
             prop = fwd_mean + sqrt_step * z
@@ -173,7 +188,7 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
             grad = jnp.where(accept, g_p, grad)
-            return theta, val, grad, acc + jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
 
         return move
 
@@ -187,8 +202,8 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
     math (no backward pass at all)."""
     scale = float(scale)
 
-    def factory(v):
-        def move(theta, val, grad, acc):
+    def factory(v, _consts):
+        def move(theta, val, grad, acc, gate):
             prop = theta + scale * _normal(theta.shape)
             v_p = v(prop)
             log_rate = v_p - val
@@ -196,7 +211,7 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
             accept = jnp.log(u) < log_rate
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
-            return theta, val, grad, acc + jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
 
         return move
 
@@ -225,28 +240,31 @@ def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
 
     blocking = Gibbs(model, scales=scales, node_subblock_size=node_subblock_size)
     P = model.num_params
-    subs = []
+    B = blocking.num_sub_blocks
+    # [P, B] matrix of per-sub-block scaled index masks, shipped as a kernel
+    # input (Pallas cannot capture traced array constants)
+    scaled_masks = np.zeros((P, B), dtype=np.float32)
     for i, (indices, scale) in enumerate(blocking._sub_blocks):
-        mask = np.zeros((P, 1), dtype=np.float32)
-        mask[np.asarray(indices, dtype=np.int64)] = 1.0
-        onehot = np.zeros((blocking.num_sub_blocks, 1), dtype=np.float32)
-        onehot[i] = 1.0
-        subs.append((jnp.asarray(float(scale) * mask), jnp.asarray(onehot)))
+        scaled_masks[np.asarray(indices, dtype=np.int64), i] = float(scale)
 
-    def factory(v):
-        def move(theta, val, grad, acc):
-            for scaled_mask, onehot in subs:
-                prop = theta + scaled_mask * _normal(theta.shape)
+    def factory(v, consts):
+        (sm,) = consts  # [P, B]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+        def move(theta, val, grad, acc, gate):
+            for b in range(B):
+                prop = theta + sm[:, b:b + 1] * _normal(theta.shape)
                 v_p = v(prop)
                 u = _uniform(v_p.shape)
                 accept = jnp.log(u) < v_p - val
                 theta = jnp.where(accept, prop, theta)
                 val = jnp.where(accept, v_p, val)
-                acc = acc + onehot * jnp.where(accept, 1.0, 0.0)
+                onehot = (row_ids == b).astype(jnp.float32)  # [B, 1]
+                acc = acc + gate * onehot * jnp.where(accept, 1.0, 0.0)
             return theta, val, grad, acc
 
         return move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False,
-                          acc_rows=blocking.num_sub_blocks)
+                          acc_rows=B, consts=(scaled_masks,))
