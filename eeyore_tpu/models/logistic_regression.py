@@ -4,6 +4,7 @@ Reference: /root/reference/eeyore/models/logistic_regression.py:8-37.
 Flat theta layout: row-major weight (output_size, input_size) then bias.
 """
 
+import jax
 import jax.numpy as jnp
 
 from eeyore_tpu.models.mlp import sigmoid
@@ -20,8 +21,10 @@ class Hyperparameters:
 
 
 class LogisticRegression(BayesianModel):
-    def __init__(self, loss, hparams=None, prior=None, temperature=None, dtype=None):
+    def __init__(self, loss, hparams=None, prior=None, temperature=None, dtype=None,
+                 matmul_precision=jax.lax.Precision.HIGH):
         super().__init__(loss, prior=prior, temperature=temperature, dtype=dtype)
+        self.matmul_precision = matmul_precision
         self.hp = hparams or Hyperparameters()
         self.num_params = self.hp.input_size * self.hp.output_size + (
             self.hp.output_size if self.hp.bias else 0
@@ -34,7 +37,9 @@ class LogisticRegression(BayesianModel):
     def forward(self, theta, x):
         w_size = self.hp.input_size * self.hp.output_size
         w = theta[..., :w_size].reshape(theta.shape[:-1] + (self.hp.output_size, self.hp.input_size))
-        h = x @ w.T
+        # 3-pass-bf16 matmul: the f32 TPU default is one bf16 MXU pass,
+        # which inflates gradient-based samplers' energy error (see MLP.forward)
+        h = jnp.matmul(x, w.T, precision=self.matmul_precision)
         if self.hp.bias:
             h = h + theta[..., w_size:]
         if self.hp.activation is not None:

@@ -44,8 +44,10 @@ class Hyperparameters:
 
 
 class MLP(BayesianModel):
-    def __init__(self, loss, hparams=None, prior=None, temperature=None, dtype=None):
+    def __init__(self, loss, hparams=None, prior=None, temperature=None, dtype=None,
+                 matmul_precision=jax.lax.Precision.HIGH):
         super().__init__(loss, prior=prior, temperature=temperature, dtype=dtype)
+        self.matmul_precision = matmul_precision
         self.hp = hparams or Hyperparameters()
         self._layer_shapes = self._compute_layer_shapes()
         self.num_params = sum(
@@ -85,10 +87,18 @@ class MLP(BayesianModel):
         return jnp.concatenate(parts, axis=-1)
 
     def forward(self, theta, x):
-        """x: [batch, dims[0]] -> [batch, dims[-1]] (reference mlp.py:45-50)."""
+        """x: [batch, dims[0]] -> [batch, dims[-1]] (reference mlp.py:45-50).
+
+        Matmuls are pinned to ``self.matmul_precision`` (default
+        Precision.HIGH, a 3-pass bf16 product): on TPU the f32 default is a
+        single bf16 MXU pass, whose rounding inflates the leapfrog energy
+        error enough to drop iris HMC acceptance from the true 0.97 to 0.89
+        (measured against the f64 oracle; HIGH and HIGHEST both restore
+        0.9705, HIGH is ~25% faster end-to-end).
+        """
         h = x
         for (w, b), activation in zip(self.unpack(theta), self.hp.activations):
-            h = h @ w.T
+            h = jnp.matmul(h, w.T, precision=self.matmul_precision)
             if b is not None:
                 h = h + b
             if activation is not None:

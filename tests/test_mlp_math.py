@@ -108,3 +108,25 @@ def test_ce_mlp4323_mixed_bias():
                                             activations=[mlp.sigmoid, mlp.sigmoid, None]),
                 dtype=jnp.float32)
     check(model, x, y)
+
+
+def test_model_matmuls_use_high_precision():
+    """TPU lowers f32 matmuls to ONE bf16 MXU pass by default; that rounding
+    drops iris HMC acceptance from the f64-oracle 0.97 to 0.89. The model
+    forwards pin Precision.HIGH (3-pass bf16: same 0.9705 acceptance as
+    HIGHEST, ~25% faster) — assert it survives into the lowered IR."""
+    from eeyore_tpu.models import LogisticRegression, logistic_regression
+
+    x = np.array([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=np.float32)
+    y = np.array([[0.], [1.], [1.], [0.]], dtype=np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=jnp.float32)
+    theta = np.zeros(model.num_params, dtype=np.float32)
+    text = jax.jit(model.log_target).lower(theta, x, y).as_text()
+    assert "HIGH" in text.upper()
+
+    lr = LogisticRegression(loss=loss_functions["binary_classification"],
+                            hparams=logistic_regression.Hyperparameters(input_size=2))
+    theta = np.zeros(lr.num_params, dtype=np.float32)
+    text = jax.jit(lr.log_target).lower(theta, x, y).as_text()
+    assert "HIGH" in text.upper()
