@@ -130,3 +130,17 @@ def test_model_matmuls_use_high_precision():
     theta = np.zeros(lr.num_params, dtype=np.float32)
     text = jax.jit(lr.log_target).lower(theta, x, y).as_text()
     assert "HIGH" in text.upper()
+
+
+def test_logistic_regression_path():
+    """The chain-lane math also serves LogisticRegression (extract_arch's
+    single-layer branch) — so the resident kernels cover the reference's
+    banknotes logreg family too."""
+    from eeyore_tpu.models import LogisticRegression, logistic_regression
+
+    x = RNG.normal(size=(20, 6)).astype(np.float32)
+    y = (RNG.random((20, 1)) > 0.5).astype(np.float32)
+    lr = LogisticRegression(loss=loss_functions["binary_classification"],
+                            hparams=logistic_regression.Hyperparameters(input_size=6))
+    check(lr, x, y, C=16)
+    check_value_only(lr, x, y, C=16)
