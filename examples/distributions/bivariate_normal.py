@@ -8,6 +8,12 @@ ram.py, power_posteriors.py) in one TPU-idiomatic script.
 Run: python examples/distributions/bivariate_normal.py
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

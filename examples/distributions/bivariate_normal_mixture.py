@@ -7,6 +7,12 @@ Mirrors /root/reference/examples/samplers/distributions/bivariate_normal_mixture
 comparison).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import functools
 
 import jax

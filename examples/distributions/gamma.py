@@ -5,6 +5,12 @@ Mirrors /root/reference/examples/samplers/distributions/gamma/
 (mala_normalized_target.py, mala_unnormalized_target.py).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import math
 
 import jax

@@ -5,6 +5,12 @@ Mirrors /root/reference/examples/samplers/logistic_regression/banknotes/
 (metropolis_hastings.py, ram.py).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

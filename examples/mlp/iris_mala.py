@@ -6,6 +6,12 @@ mala_cpu_chainfile.py (11000 epochs, 1000 burn-in, step 0.003, N(0, sqrt(3))
 prior, float32).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import tempfile
 
 import jax

@@ -8,6 +8,12 @@ This is what replaces the reference's one-chain-at-a-time loop
 sharded) tensor dimension.
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import time
 
 import jax

@@ -7,6 +7,12 @@ lowering); on this container run it as `python examples/mlp/xor_resident_kernels
 See docs/GUIDE.md section 8 for chain_block sizing rules.
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import time
 
 import jax

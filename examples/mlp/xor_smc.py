@@ -7,6 +7,12 @@ The north-star extension of the reference's power-posterior sampler
 the reference's serial chain loop cannot reach.
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,12 @@ Run on CPU with a virtual mesh:
 or on a real TPU slice (the mesh picks up all local devices).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,12 @@ multi_ess.py, multi_rhat.py — there cross-validated against R's mcmcse;
 here against the analytic AR(1) autocovariance).
 """
 
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
 import numpy as np
 
 from eeyore_tpu import stats as st
