@@ -130,3 +130,28 @@ class ChainList(Chain):
             chainfile.update(self.state(i), reset=False, close=False, fmt=fmt)
         chainfile.close()
         return chainfile
+
+    def to_kanga(self, keys=None):
+        """Convert to a ``kanga.chains.ChainArray`` for kanga's diagnostics/
+        plotting (reference chain_list.py:126-141). kanga is an optional
+        dependency — this raises a clear ImportError when it is absent."""
+        try:
+            from kanga.chains import ChainArray
+        except ImportError as e:
+            raise ImportError(
+                "ChainList.to_kanga requires the optional 'kanga' package "
+                "(pip install kanga)") from e
+
+        keys = set(keys or self.vals.keys()) & {
+            "sample", "target_val", "grad_val", "accepted"}
+        vals = {}
+        for key in keys:
+            if key == "sample":
+                vals[key] = self.get_samples()
+            elif key == "target_val":
+                vals[key] = self.get_target_vals()
+            elif key == "grad_val":
+                vals[key] = self.get_grad_vals()
+            elif key == "accepted":
+                vals[key] = np.asarray(self.vals["accepted"])
+        return ChainArray(vals)

@@ -48,6 +48,38 @@ class TestChainList:
         assert len(chain) == 10
         np.testing.assert_array_equal(chain.get_samples(), arrays["sample"])
 
+    def test_to_kanga(self, monkeypatch):
+        """to_kanga builds a kanga ChainArray when kanga is importable and
+        raises a clear ImportError otherwise (kanga is optional)."""
+        import sys
+        import types
+
+        chain = make_chain(10, 2)
+        if "kanga" not in sys.modules:
+            captured = {}
+
+            class FakeChainArray:
+                def __init__(self, vals):
+                    captured.update(vals)
+
+            kanga = types.ModuleType("kanga")
+            kanga_chains = types.ModuleType("kanga.chains")
+            kanga_chains.ChainArray = FakeChainArray
+            kanga.chains = kanga_chains
+            monkeypatch.setitem(sys.modules, "kanga", kanga)
+            monkeypatch.setitem(sys.modules, "kanga.chains", kanga_chains)
+            chain.to_kanga()
+            assert captured["sample"].shape == (10, 2)
+            assert captured["accepted"].shape == (10,)
+            assert "grad_val" not in captured
+
+            monkeypatch.delitem(sys.modules, "kanga.chains")
+            monkeypatch.delitem(sys.modules, "kanga")
+            import pytest
+
+            with pytest.raises(ImportError, match="kanga"):
+                chain.to_kanga()
+
     def test_save_load(self, tmp_path):
         chain = make_chain(30, 2)
         chain.save(tmp_path / "chain.npz")
