@@ -196,9 +196,12 @@ def config_gibbs():
     model = mlp_model([4, 3, 2, 3], loss="multiclass_classification",
                       acts=[mlp.sigmoid, mlp.sigmoid, None])
     xi, yi = iris_data()
+    # chain_block 512: the incremental-evaluation activation cache (8 x
+    # [152, chain_block] VMEM arrays) blows the 16MB scoped-VMEM budget at
+    # 1024 lanes (measured 20.4M)
     res = run_resident(make_resident_gibbs(model, np.asarray(xi), np.asarray(yi),
                                            scales=0.1, num_iters=1024,
-                                           num_burnin_iters=512, chain_block=1024),
+                                           num_burnin_iters=512, chain_block=512),
                        model, num_iters=1024, burnin=512, num_chains=8192)
     scan = run_scanned(Gibbs(model, scales=0.1), (xi, yi),
                        num_iters=1024, burnin=512, num_chains=8192)

@@ -181,3 +181,152 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
         return val, grad
 
     return vg
+
+
+def make_incremental_gibbs(model, n_pad, temperature, prior_const):
+    """Incremental log-posterior evaluation for blocked Gibbs sweeps.
+
+    A Gibbs node-block proposal (reference gibbs.py:73-94 semantics) perturbs
+    only the incoming weights/bias of ONE unit (layer l, node j), so only that
+    unit's activation and everything downstream changes. This builds:
+
+    - ``cache_keys``: static tuple naming the cached arrays — hidden
+      activations ``('a', l, j)`` ([n_pad, C], unit j of weight-layer l's
+      output) and, per loss, output-unit log-lik contributions ``('ll', j)``
+      ([1, C], BCE) or output logits ``('z', j)`` ([n_pad, C], CE).
+    - ``init(theta, x, y, mask, loc, ivar) -> (val, cache)``: full forward.
+    - ``updates[(l, j)](theta, x, y, mask, loc, ivar, cache) ->
+      (val, new_cache)``: recompute unit (l, j) from cached upstream
+      activations, then all layers strictly downstream; UNCHANGED cache
+      entries are returned as the very same objects, so callers can
+      where-select only what moved.
+
+    The incremental value is bit-identical to the full forward: cached
+    activations are the same floats the full pass would recompute, and the
+    log-lik reductions run in the same order.
+    """
+    dims, bias, loss_kind, layer_offsets = extract_arch(model)
+    num_layers = len(dims) - 1
+    k_out = dims[-1]
+
+    cache_keys = tuple(
+        ("a", l, j)
+        for l in range(num_layers - 1)
+        for j in range(dims[l + 1])
+    ) + tuple(
+        ("ll" if loss_kind == "bce" else "z", j) for j in range(k_out)
+    )
+    key_pos = {k: i for i, k in enumerate(cache_keys)}
+
+    def w_row(theta, l, j, i):
+        w_off, _ = layer_offsets[l]
+        return theta[w_off + j * dims[l] + i, :][None, :]
+
+    def b_row(theta, l, j):
+        _, b_off = layer_offsets[l]
+        return theta[b_off + j, :][None, :]
+
+    def unit_z(theta, prev, l, j):
+        C = theta.shape[1]
+        z = jnp.zeros((n_pad, C), dtype=jnp.float32)
+        for i in range(dims[l]):
+            z = z + prev[i] * w_row(theta, l, j, i)
+        if bias[l]:
+            z = z + b_row(theta, l, j)
+        return z
+
+    def layer_inputs(theta, x, cache, l):
+        if l == 0:
+            return [x[:, i][:, None] for i in range(dims[0])]
+        return [cache[key_pos[("a", l - 1, i)]] for i in range(dims[l])]
+
+    def bce_unit_ll(z, y, mask, j):
+        yj = y[:, j][:, None]
+        return jnp.sum((yj * z - jax.nn.softplus(z)) * mask, axis=0, keepdims=True)
+
+    def ce_ll(zs, y, mask):
+        zmax = zs[0]
+        for j in range(1, k_out):
+            zmax = jnp.maximum(zmax, zs[j])
+        sumexp = jnp.zeros_like(zs[0])
+        for j in range(k_out):
+            sumexp = sumexp + jnp.exp(zs[j] - zmax)
+        lse = zmax + jnp.log(sumexp)
+        picked = jnp.zeros_like(zs[0])
+        for j in range(k_out):
+            picked = picked + y[:, j][:, None] * zs[j]
+        return jnp.sum((picked - lse) * mask, axis=0, keepdims=True)
+
+    def log_lik_from_cache(cache):
+        # BCE only; the CE path computes ll directly from the cached logits.
+        ll = cache[key_pos[("ll", 0)]]
+        for j in range(1, k_out):
+            ll = ll + cache[key_pos[("ll", j)]]
+        return ll
+
+    def log_prior(theta, loc, ivar):
+        diff = theta - loc
+        return jnp.sum(-0.5 * diff * diff * ivar, axis=0, keepdims=True) + prior_const
+
+    def finish(theta, loc, ivar, ll):
+        return temperature * (ll + log_prior(theta, loc, ivar))
+
+    def init(theta, x, y, mask, loc, ivar):
+        cache = [None] * len(cache_keys)
+        for l in range(num_layers - 1):
+            prev = layer_inputs(theta, x, cache, l)
+            for j in range(dims[l + 1]):
+                cache[key_pos[("a", l, j)]] = jax.nn.sigmoid(unit_z(theta, prev, l, j))
+        prev = layer_inputs(theta, x, cache, num_layers - 1)
+        zs = [unit_z(theta, prev, num_layers - 1, j) for j in range(k_out)]
+        if loss_kind == "bce":
+            for j in range(k_out):
+                cache[key_pos[("ll", j)]] = bce_unit_ll(zs[j], y, mask, j)
+            ll = log_lik_from_cache(cache)
+        else:
+            for j in range(k_out):
+                cache[key_pos[("z", j)]] = zs[j]
+            ll = ce_ll(zs, y, mask)
+        return finish(theta, loc, ivar, ll), tuple(cache)
+
+    def make_update(l, j):
+        if l == num_layers - 1:
+            def update(theta, x, y, mask, loc, ivar, cache):
+                cache = list(cache)
+                prev = layer_inputs(theta, x, cache, l)
+                z = unit_z(theta, prev, l, j)
+                if loss_kind == "bce":
+                    cache[key_pos[("ll", j)]] = bce_unit_ll(z, y, mask, j)
+                    ll = log_lik_from_cache(cache)
+                else:
+                    cache[key_pos[("z", j)]] = z
+                    ll = ce_ll([cache[key_pos[("z", jj)]] for jj in range(k_out)], y, mask)
+                return finish(theta, loc, ivar, ll), tuple(cache)
+            return update
+
+        def update(theta, x, y, mask, loc, ivar, cache):
+            cache = list(cache)
+            prev = layer_inputs(theta, x, cache, l)
+            cache[key_pos[("a", l, j)]] = jax.nn.sigmoid(unit_z(theta, prev, l, j))
+            for dl in range(l + 1, num_layers - 1):
+                prev = layer_inputs(theta, x, cache, dl)
+                for dj in range(dims[dl + 1]):
+                    cache[key_pos[("a", dl, dj)]] = jax.nn.sigmoid(unit_z(theta, prev, dl, dj))
+            prev = layer_inputs(theta, x, cache, num_layers - 1)
+            zs = [unit_z(theta, prev, num_layers - 1, jj) for jj in range(k_out)]
+            if loss_kind == "bce":
+                for jj in range(k_out):
+                    cache[key_pos[("ll", jj)]] = bce_unit_ll(zs[jj], y, mask, jj)
+                ll = log_lik_from_cache(cache)
+            else:
+                for jj in range(k_out):
+                    cache[key_pos[("z", jj)]] = zs[jj]
+                ll = ce_ll(zs, y, mask)
+            return finish(theta, loc, ivar, ll), tuple(cache)
+        return update
+
+    updates = {}
+    for l in range(num_layers):
+        for j in range(dims[l + 1]):
+            updates[(l, j)] = make_update(l, j)
+    return cache_keys, init, updates

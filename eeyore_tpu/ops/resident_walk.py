@@ -39,9 +39,16 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
 
-    ``iteration_factory(vg, const_vals) -> move(theta, val, grad, acc, gate)``
-    returns the proposal/accept step; ``grad`` is a dummy when ``with_grad``
-    is False. ``acc_rows`` > 1 gives per-sub-move acceptance counters
+    ``iteration_factory(vg, const_vals, raw) -> (state_init, move)`` where
+    ``raw = (x, y, mask, loc, ivar)`` are the loaded VMEM data values,
+    ``state_init(theta0) -> (val0, grad0, aux0)`` computes the initial carry
+    (``grad0`` is a [1, C] dummy for gradient-free kernels; ``aux0`` is an
+    arbitrary tuple-pytree of [*, C] arrays — e.g. the blocked-Gibbs
+    incremental activation cache — or ``()``), and
+    ``move(theta, val, grad, acc, aux, gate, t) -> (theta, val, grad, acc,
+    aux)`` is one iteration (``t`` is the traced iteration index, for
+    iteration-scheduled moves like tempering swaps). ``acc_rows`` > 1 gives
+    per-sub-move acceptance counters
     (blocked Gibbs). ``consts`` is a tuple of 2D float32 numpy arrays shipped
     to the kernel as broadcast VMEM inputs (Pallas kernels cannot capture
     traced array constants) and handed to the factory as loaded values.
@@ -73,23 +80,20 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         def vg(theta):
             return vg_math(theta, xv, yv, maskv, locv, ivarv)
 
-        move = iteration_factory(vg, const_vals)
+        state_init, move = iteration_factory(vg, const_vals,
+                                             (xv, yv, maskv, locv, ivarv))
 
         theta0 = theta_ref[:, :]
-        if with_grad:
-            val0, grad0 = vg(theta0)
-        else:
-            val0 = vg(theta0)
-            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+        val0, grad0, aux0 = state_init(theta0)
         acc0 = jnp.zeros((acc_rows, theta0.shape[1]), dtype=jnp.float32)
         stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
 
         def iteration(t, carry):
-            theta, val, grad, acc = carry
+            theta, val, grad, acc, aux = carry
             # acceptance counters are post-burn-in (the scanned chains'
             # acceptance_rate semantics)
             gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
-            theta, val, grad, acc = move(theta, val, grad, acc, gate)
+            theta, val, grad, acc, aux = move(theta, val, grad, acc, aux, gate, t)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
@@ -106,10 +110,10 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                 dma.start()
                 dma.wait()
 
-            return (theta, val, grad, acc)
+            return (theta, val, grad, acc, aux)
 
-        theta, val, grad, acc = jax.lax.fori_loop(
-            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        theta, val, grad, acc, aux = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, acc0, aux0))
         final_ref[:, :] = theta
         acc_ref[:, :] = acc
 
@@ -170,8 +174,12 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
     step = float(step)
     sqrt_step = math.sqrt(step)
 
-    def factory(vg, _consts):
-        def move(theta, val, grad, acc, gate):
+    def factory(vg, _consts, _raw):
+        def state_init(theta0):
+            val0, grad0 = vg(theta0)
+            return val0, grad0, ()
+
+        def move(theta, val, grad, acc, aux, gate, t):
             z = _normal(theta.shape)
             fwd_mean = theta + 0.5 * step * grad
             prop = fwd_mean + sqrt_step * z
@@ -188,9 +196,9 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
             grad = jnp.where(accept, g_p, grad)
-            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0), aux
 
-        return move
+        return state_init, move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=True)
@@ -202,8 +210,13 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
     math (no backward pass at all)."""
     scale = float(scale)
 
-    def factory(v, _consts):
-        def move(theta, val, grad, acc, gate):
+    def factory(v, _consts, _raw):
+        def state_init(theta0):
+            val0 = v(theta0)
+            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+            return val0, grad0, ()
+
+        def move(theta, val, grad, acc, aux, gate, t):
             prop = theta + scale * _normal(theta.shape)
             v_p = v(prop)
             log_rate = v_p - val
@@ -211,9 +224,9 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
             accept = jnp.log(u) < log_rate
             theta = jnp.where(accept, prop, theta)
             val = jnp.where(accept, v_p, val)
-            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0), aux
 
-        return move
+        return state_init, move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False)
@@ -221,7 +234,7 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
 
 def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
                         num_iters=1000, num_burnin_iters=0,
-                        chain_block=1024, record_thin=1):
+                        chain_block=512, record_thin=1):
     """Whole-loop blocked Metropolis-within-Gibbs (samplers/gibbs.py
     semantics; reference gibbs.py:73-96): one systematic sweep per iteration
     over the model's static node (sub-)blocks, each proposed with a
@@ -230,12 +243,18 @@ def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
 
     The sweep is UNROLLED over sub-blocks (their count and index masks are
     static per architecture), so each sub-block move is a masked [P, C]
-    perturbation + one forward pass. Returns per-chain PER-SUB-BLOCK
+    perturbation + an INCREMENTAL log-target evaluation
+    (ops/mlp_math.py::make_incremental_gibbs): a node-block proposal only
+    changes one unit's activation, so only that unit and the layers strictly
+    downstream are recomputed from a VMEM-resident activation cache —
+    bit-identical to the full forward (tests/test_mlp_math.py), ~2.5x fewer
+    multiply-adds per sweep on mlp4323. Returns per-chain PER-SUB-BLOCK
     acceptance counts [C, num_sub_blocks] (the reference's
     block_acceptance_rate, chain_list.py:98-99). Rejected coordinates are
     restored before the next sub-block proposal (fixing the reference's
     rejected-coordinate leak — see samplers/gibbs.py docstring).
     """
+    from eeyore_tpu.ops.mlp_math import make_incremental_gibbs
     from eeyore_tpu.samplers.gibbs import Gibbs
 
     blocking = Gibbs(model, scales=scales, node_subblock_size=node_subblock_size)
@@ -247,23 +266,43 @@ def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
     for i, (indices, scale) in enumerate(blocking._sub_blocks):
         scaled_masks[np.asarray(indices, dtype=np.int64), i] = float(scale)
 
-    def factory(v, consts):
+    # sub-block -> (layer, node) of the unit it perturbs (sub-blocks of one
+    # node block all touch the same unit; order matches blocking._sub_blocks)
+    sub_units = []
+    for b, subs in enumerate(blocking.get_blocks()):
+        l, j = model.layer_and_node_from_par_block(b)
+        sub_units.extend([(l, j)] * len(subs))
+    assert len(sub_units) == B
+
+    x_pad, _, _, _, _, prior_const, temperature = prepare_data(model, x, y)
+    _, inc_init, inc_updates = make_incremental_gibbs(
+        model, x_pad.shape[0], temperature, prior_const)
+
+    def factory(v, consts, raw):
         (sm,) = consts  # [P, B]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
 
-        def move(theta, val, grad, acc, gate):
+        def state_init(theta0):
+            val0, cache0 = inc_init(theta0, *raw)
+            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+            return val0, grad0, cache0
+
+        def move(theta, val, grad, acc, cache, gate, t):
             for b in range(B):
                 prop = theta + sm[:, b:b + 1] * _normal(theta.shape)
-                v_p = v(prop)
+                v_p, cache_p = inc_updates[sub_units[b]](prop, *raw, cache)
                 u = _uniform(v_p.shape)
                 accept = jnp.log(u) < v_p - val
                 theta = jnp.where(accept, prop, theta)
                 val = jnp.where(accept, v_p, val)
+                cache = tuple(
+                    old if new is old else jnp.where(accept, new, old)
+                    for old, new in zip(cache, cache_p))
                 onehot = (row_ids == b).astype(jnp.float32)  # [B, 1]
                 acc = acc + gate * onehot * jnp.where(accept, 1.0, 0.0)
-            return theta, val, grad, acc
+            return theta, val, grad, acc, cache
 
-        return move
+        return state_init, move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False,

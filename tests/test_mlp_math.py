@@ -144,3 +144,77 @@ def test_logistic_regression_path():
                             hparams=logistic_regression.Hyperparameters(input_size=6))
     check(lr, x, y, C=16)
     check_value_only(lr, x, y, C=16)
+
+
+def check_incremental(model, x, y, C=16, sweeps=3, seed=7):
+    """Incremental Gibbs math must be BIT-IDENTICAL to the full value-only
+    forward after any sequence of node-block updates (it reuses cached
+    activations that the full pass would recompute from the same floats)."""
+    from eeyore_tpu.ops.mlp_math import make_incremental_gibbs
+
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    v_full = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                     with_grad=False)
+    _, init, updates = make_incremental_gibbs(model, x_pad.shape[0], temp, const)
+    args = (jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+            jnp.asarray(loc), jnp.asarray(ivar))
+
+    rng = np.random.default_rng(seed)
+    theta = jnp.asarray(rng.normal(size=(model.num_params, C)).astype(np.float32))
+    val, cache = init(theta, *args)
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(v_full(theta, *args)))
+
+    num_blocks = model.num_par_blocks()
+    for _ in range(sweeps):
+        for b in range(num_blocks):
+            indices = np.asarray(model.par_block_indices(b))
+            l, j = model.layer_and_node_from_par_block(b)
+            z = np.zeros((model.num_params, C), dtype=np.float32)
+            z[indices] = rng.normal(size=(len(indices), C)).astype(np.float32)
+            prop = theta + jnp.asarray(z)
+            val_p, cache_p = updates[(l, j)](prop, *args, cache)
+            np.testing.assert_array_equal(
+                np.asarray(val_p), np.asarray(v_full(prop, *args)),
+                err_msg=f"block {b} (layer {l}, node {j})")
+            # identity-pass-through contract: only downstream entries move
+            changed = sum(1 for old, new in zip(cache, cache_p) if new is not old)
+            assert 0 < changed <= len(cache)
+            # alternate accept/reject to exercise both cache branches
+            if b % 2 == 0:
+                theta, cache = prop, cache_p
+
+
+def test_incremental_gibbs_bce_mlp221():
+    x = np.array([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=np.float32)
+    y = np.array([[0.], [1.], [1.], [0.]], dtype=np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=jnp.float32)
+    check_incremental(model, x, y)
+
+
+def test_incremental_gibbs_ce_mlp433():
+    x = RNG.normal(size=(20, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 20)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    check_incremental(model, x, y)
+
+
+def test_incremental_gibbs_ce_mlp4323_mixed_bias():
+    x = RNG.normal(size=(30, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 30)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 2, 3], bias=[True, False, True],
+                                            activations=[mlp.sigmoid, mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    check_incremental(model, x, y)
+
+
+def test_incremental_gibbs_bce_mlp2321():
+    x = RNG.normal(size=(12, 2)).astype(np.float32)
+    y = (RNG.uniform(size=(12, 1)) > 0.5).astype(np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 3, 2, 1]), dtype=jnp.float32)
+    check_incremental(model, x, y)

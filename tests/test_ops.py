@@ -109,3 +109,76 @@ class TestFusedHMC:
         state, rec = fused.run(key, theta0s, 500, 300)
         acc = np.asarray(rec["accepted"]).mean()
         assert abs(acc - 0.65) < 0.15  # population DA pulls toward d=0.65
+
+
+class TestResidentTemperingLayout:
+    """CPU-testable pieces of the resident tempering kernel: the ladder-major
+    lane constants and the even/odd roll-based swap shuffle (simulated with
+    numpy rolls — the same circular-shift semantics as pltpu.roll)."""
+
+    def test_ladder_lane_constants(self):
+        from eeyore_tpu.ops.resident_tempering import ladder_lane_constants
+        from eeyore_tpu.samplers.power_posterior import default_temperatures
+
+        L, cb = 4, 16
+        temps_lad = default_temperatures(L)
+        temps, temps_right, m_even, m_odd = ladder_lane_constants(L, cb, temps_lad)
+        assert temps.shape == (1, cb)
+        # ladder-major tiling, coldest (temperature 1) last in each ladder
+        np.testing.assert_allclose(temps[0, :L], np.asarray(temps_lad, np.float32))
+        np.testing.assert_allclose(temps[0], np.tile(temps[0, :L], cb // L))
+        assert temps[0, L - 1] == 1.0
+        # lower-pair masks: even rungs 0,2 / odd rung 1; rung L-1 never lower
+        np.testing.assert_array_equal(m_even[0, :L], [1, 0, 1, 0])
+        np.testing.assert_array_equal(m_odd[0, :L], [0, 1, 0, 0])
+        # temps_right[c] = temps[c+1] wherever the lane can be a lower member
+        lower = (m_even[0] + m_odd[0]) > 0
+        np.testing.assert_allclose(temps_right[0, :-1][lower[:-1]],
+                                   temps[0, 1:][lower[:-1]])
+
+    def test_ladder_lane_constants_validation(self):
+        from eeyore_tpu.ops.resident_tempering import ladder_lane_constants
+
+        with pytest.raises(ValueError, match="multiple"):
+            ladder_lane_constants(3, 16, [0.1, 0.5, 1.0])
+        with pytest.raises(ValueError, match="temperatures"):
+            ladder_lane_constants(4, 16, [0.1, 0.5, 1.0])
+
+    def test_swap_shuffle_numpy_simulation(self):
+        """With acceptance forced everywhere, the roll+mask lattice must swap
+        exactly the (even, even+1) pairs within each ladder and touch nothing
+        across ladder boundaries."""
+        from eeyore_tpu.ops.resident_tempering import ladder_lane_constants
+
+        L, cb, P = 4, 8, 3
+        _, _, m_even, m_odd = ladder_lane_constants(L, cb, [0.1, 0.3, 0.6, 1.0])
+        rng = np.random.default_rng(0)
+        theta = rng.normal(size=(P, cb))
+
+        for m, pairs in ((m_even, [(0, 1), (2, 3), (4, 5), (6, 7)]),
+                         (m_odd, [(1, 2), (5, 6)])):
+            acc_lower = m.copy()  # accept every eligible pair
+            acc_upper = np.roll(acc_lower, 1, axis=1)
+            theta_r = np.roll(theta, -1, axis=1)
+            theta_l = np.roll(theta, 1, axis=1)
+            out = np.where(acc_lower > 0.5, theta_r,
+                           np.where(acc_upper > 0.5, theta_l, theta))
+            expected = theta.copy()
+            for i, j in pairs:
+                expected[:, [i, j]] = expected[:, [j, i]]
+            np.testing.assert_array_equal(out, expected)
+
+    def test_tempering_maker_validation(self):
+        from eeyore_tpu.ops.resident_tempering import make_resident_tempering
+
+        x = np.array([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=np.float32)
+        y = np.array([[0.], [1.], [1.], [0.]], dtype=np.float32)
+        model = MLP(loss=loss_functions["binary_classification"],
+                    hparams=mlp.Hyperparameters(dims=[2, 2, 1]), dtype=jnp.float32)
+        with pytest.raises(ValueError, match="sampler"):
+            make_resident_tempering(model, x, y, num_rungs=4, sampler="HMC")
+        tempered = MLP(loss=loss_functions["binary_classification"],
+                       hparams=mlp.Hyperparameters(dims=[2, 2, 1]),
+                       temperature=0.5, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="untempered"):
+            make_resident_tempering(tempered, x, y, num_rungs=4)
