@@ -208,11 +208,113 @@ def config_gibbs():
     return compare("gibbs_mlp4323_iris", res, scan)
 
 
+def config_tempering():
+    """Resident parallel-tempering vs the scanned even/odd PowerPosterior:
+    coldest-rung moments, within-chain acceptance, plus the on-device swap
+    algebra pin (an equal-temperature ladder must accept every swap)."""
+    from eeyore_tpu.ops.resident_tempering import make_resident_tempering
+    from eeyore_tpu.samplers.power_posterior import PowerPosteriorSampler
+
+    L, between = 8, 10
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    num_chains = C // 2  # 16384 lanes = 2048 ladders of 8 rungs
+    cold = slice(L - 1, None, L)
+
+    fn = jax.jit(make_resident_tempering(
+        model, np.asarray(x), np.asarray(y), num_rungs=L, step=0.05,
+        sampler="MALA", between_step=between, num_iters=T,
+        num_burnin_iters=BURNIN, chain_block=2048))
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (num_chains, model.num_params), dtype=DT)
+    samples, final, counts = fn(7, theta0s)
+    jax.block_until_ready(final)
+    t0 = time.perf_counter()
+    samples, final, counts = fn(7, theta0s)
+    jax.block_until_ready(final)
+    elapsed = time.perf_counter() - t0
+    sub = np.swapaxes(np.asarray(samples[:, cold][:, :MOMENT_CHAINS, :],
+                                 dtype=np.float64), 0, 1)
+    counts = np.asarray(counts)
+    within_rate = float(counts[:, 0].mean()) / (T - BURNIN)
+    # post-burn-in swap rounds by parity (a lane is eligible on rounds
+    # matching its rung parity)
+    rounds = np.arange(BURNIN, T)
+    rounds = rounds[rounds % between == 0]
+    parities = (rounds // between) % 2
+    rung = np.arange(num_chains) % L
+    eligible = np.where(rung % 2 == 0, (parities == 0).sum(), (parities == 1).sum())
+    eligible = np.where(rung == L - 1, 0, eligible)
+    lower = eligible > 0
+    swap_rate = float((counts[lower, 1] / eligible[lower]).mean())
+    res = summarize(sub, within_rate, elapsed, num_chains, T)
+
+    # scanned comparator: vmap over replica ladders of the even/odd scheme
+    pp = PowerPosteriorSampler(model, num_chains=L, sampler="MALA",
+                               sampler_kwargs={"step": 0.05},
+                               between_step=between, swap_scheme="even_odd")
+    R = 2048
+    schedule = BatchSchedule.full_batch(x, y)
+
+    def run(key, theta0s):
+        init_key, chain_key = jax.random.split(key)
+        xb, yb = schedule.batch(0)
+        state = pp.init(theta0s, xb, yb, key=init_key)
+
+        def body(state, i):
+            state, info = pp.step(jax.random.fold_in(chain_key, i), state, xb, yb, i)
+            return state, {"sample": info["sample"], "accepted": info["accepted"]}
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(BURNIN))
+        state, rec = jax.lax.scan(body, state, jnp.arange(BURNIN, T))
+        return state, rec
+
+    keys = jax.random.split(jax.random.PRNGKey(1), R)
+    theta0s_s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                        (R, L, model.num_params), dtype=DT)
+    sfn = jax.jit(jax.vmap(run))
+    state, rec = sfn(keys, theta0s_s)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, rec = sfn(keys, theta0s_s)
+    jax.block_until_ready(state)
+    elapsed_s = time.perf_counter() - t0
+    # rec["sample"]: [R, kept, L, P] -> coldest rung chains [R, kept, P]
+    cold_s = np.asarray(rec["sample"][:, :, L - 1, :][:MOMENT_CHAINS],
+                        dtype=np.float64)
+    acc_s = float(np.asarray(rec["accepted"], dtype=np.float64).mean())
+    scan = summarize(cold_s, acc_s, elapsed_s, R * L, T)
+
+    out = compare("tempering_mlp221_xor", res, scan)
+    out["resident_swap_rate"] = round(swap_rate, 4)
+
+    # swap-algebra pin: equal temperatures => log-rate identically 0 =>
+    # every eligible swap accepts (log u < 0 a.s.)
+    fn_eq = jax.jit(make_resident_tempering(
+        model, np.asarray(x), np.asarray(y), num_rungs=L, step=0.05,
+        sampler="MALA", temperatures=np.ones(L), between_step=between,
+        num_iters=256, num_burnin_iters=0, chain_block=2048))
+    _, _, counts_eq = fn_eq(11, theta0s[:2048])
+    counts_eq = np.asarray(counts_eq)
+    rounds = np.arange(256)
+    rounds = rounds[rounds % between == 0]
+    parities = (rounds // between) % 2
+    rung = np.arange(2048) % L
+    eligible = np.where(rung % 2 == 0, (parities == 0).sum(), (parities == 1).sum())
+    eligible = np.where(rung == L - 1, 0, eligible)
+    swaps_ok = bool(np.all(counts_eq[:, 1] == eligible))
+    out["equal_temp_swaps_all_accept"] = swaps_ok
+    print(json.dumps({"config": "tempering_swap_pin",
+                      "equal_temp_swaps_all_accept": swaps_ok}), flush=True)
+    return out
+
+
 def main():
     assert jax.devices()[0].platform != "cpu", "resident kernels are TPU-only"
     results = {}
-    only = sys.argv[1:] or ["mh", "mala", "hmc", "gibbs"]
-    for name, fn in [("mh", config_mh), ("mala", config_mala), ("hmc", config_hmc),
+    only = sys.argv[1:] or ["mh", "mala", "hmc", "gibbs", "tempering"]
+    for name, fn in [("tempering", config_tempering),
+                     ("mh", config_mh), ("mala", config_mala), ("hmc", config_hmc),
                      ("gibbs", config_gibbs)]:
         if name not in only:
             continue

@@ -22,8 +22,22 @@ def uniform(shape):
 
 
 def normal(shape):
-    """Standard normals via Box-Muller."""
-    u1 = uniform(shape)
-    u2 = uniform(shape)
+    """Standard normals via Box-Muller, using BOTH halves of each transform.
+
+    (r cos a, r sin a) from one (u1, u2) pair are two independent N(0,1)
+    draws, so a [rows, cols] request only needs ceil(rows/2) uniform rows —
+    half the log/sqrt/cos+sin transcendental traffic of the one-sided form
+    (which dominates per-iteration fixed costs in the small-model resident
+    kernels, docs/PERF_NOTES.md)."""
+    rows, cols = shape
+    if rows == 1:
+        u1 = uniform(shape)
+        u2 = uniform(shape)
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
+    half = (rows + 1) // 2
+    u1 = uniform((half, cols))
+    u2 = uniform((half, cols))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(2.0 * math.pi * u2)
+    a = 2.0 * math.pi * u2
+    z = jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
+    return z[:rows, :]

@@ -136,10 +136,12 @@ def make_resident_tempering(model, x, y, num_rungs, step=0.01, sampler="MALA",
         def swap_move(theta, val, grad, acc_s, gate, t):
             parity = (t // between_step) % 2
             is_lower = jnp.where(parity == 0, m_even, m_odd) > 0.5  # [1, C]
-            # neighbours one lane over (lane c+1 = one rung colder)
-            theta_r = pltpu.roll(theta, -1, axis=1)
+            # neighbours one lane over (lane c+1 = one rung colder);
+            # pltpu.roll needs non-negative shifts: roll by C-1 == -1
+            C = theta.shape[1]
+            theta_r = pltpu.roll(theta, C - 1, axis=1)
             theta_l = pltpu.roll(theta, 1, axis=1)
-            val_r = pltpu.roll(val, -1, axis=1)
+            val_r = pltpu.roll(val, C - 1, axis=1)
             val_l = pltpu.roll(val, 1, axis=1)
             # pair (i=c, j=c+1): log_rate = (t_i - t_j) * (base_j - base_i)
             log_rate = (temps - temps_right) * (val_r - val)
@@ -151,7 +153,7 @@ def make_resident_tempering(model, x, y, num_rungs, step=0.01, sampler="MALA",
             theta = jnp.where(take_r, theta_r, jnp.where(take_l, theta_l, theta))
             val = jnp.where(take_r, val_r, jnp.where(take_l, val_l, val))
             if with_grad:
-                grad_r = pltpu.roll(grad, -1, axis=1)
+                grad_r = pltpu.roll(grad, C - 1, axis=1)
                 grad_l = pltpu.roll(grad, 1, axis=1)
                 grad = jnp.where(take_r, grad_r, jnp.where(take_l, grad_l, grad))
             return theta, val, grad, acc_s + gate * acc_lower

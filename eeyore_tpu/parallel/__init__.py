@@ -9,6 +9,7 @@ from eeyore_tpu.parallel.sharded import (
     global_logsumexp,
     run_power_posterior_sharded,
     run_resident_hmc_sharded,
+    run_resident_tempering_sharded,
     run_smc_sharded,
     sample_chains_sharded,
 )

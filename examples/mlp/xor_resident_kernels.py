@@ -26,6 +26,7 @@ import numpy as np
 
 from eeyore_tpu.models import MLP, loss_functions, mlp
 from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+from eeyore_tpu.ops.resident_tempering import make_resident_tempering
 from eeyore_tpu.ops.resident_walk import (
     make_resident_gibbs,
     make_resident_mala,
@@ -54,6 +55,13 @@ kernels = {
     "gibbs": make_resident_gibbs(model, x, y, scales=0.5,
                                  num_iters=NUM_ITERS, num_burnin_iters=BURNIN,
                                  chain_block=4096),
+    # 4096 lanes = 512 independent 8-rung temperature ladders per block;
+    # counts column 0 = within-chain accepts, column 1 = swap accepts
+    "tempering": make_resident_tempering(model, x, y, num_rungs=8, step=0.05,
+                                         sampler="MALA", between_step=10,
+                                         num_iters=NUM_ITERS,
+                                         num_burnin_iters=BURNIN,
+                                         chain_block=4096),
 }
 
 theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
@@ -70,7 +78,10 @@ for name, make in kernels.items():
 
     kept = NUM_ITERS - BURNIN
     pooled = np.asarray(samples[:, :512, :], dtype=np.float64)  # [kept, 512, P]
-    acc_rate = float(np.asarray(acc).mean()) / kept
+    if name == "tempering":  # counts [C, 2]: within-chain accepts / swap accepts
+        acc_rate = float(np.asarray(acc)[:, 0].mean()) / kept
+    else:
+        acc_rate = float(np.asarray(acc).mean()) / kept
     print(f"{name:6s} {NUM_CHAINS * NUM_ITERS / elapsed:14,.0f} samples/s  "
           f"acceptance {acc_rate:.3f}  "
           f"posterior mean head {np.round(pooled.mean((0, 1))[:3], 3)}")
