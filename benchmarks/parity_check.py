@@ -139,6 +139,68 @@ def run_ours_xor_mlp(num_epochs=6000, burnin=1000):
             "acceptance": chain.acceptance_rate(), "n": len(s)}
 
 
+def run_reference_pp(num_epochs=6000, burnin=1000, num_chains=5, between_step=2):
+    """Reference PowerPosteriorSampler (categorical swaps) on the bivariate
+    normal; reports the coldest (default-indicator) chain."""
+    from torch.utils.data import DataLoader
+
+    from eeyore.datasets import EmptyXYDataset
+    from eeyore.models import DistributionModel as RefDist
+    from eeyore.samplers import PowerPosteriorSampler as RefPP
+
+    torch.manual_seed(3)
+    cov = torch.tensor([[1.0, 0.5], [0.5, 1.0]], dtype=torch.float64)
+    prec = torch.inverse(cov)
+
+    def log_pdf(theta, x, y):
+        return -0.5 * theta @ prec @ theta
+
+    model = RefDist(log_pdf, 2, dtype=torch.float64)
+    loader = DataLoader(EmptyXYDataset(), batch_size=1)
+    # keys: the reference PP defaults to ['sample', 'target_val'] (no
+    # 'accepted'), which breaks its own acceptance_rate(); request it
+    sampler = RefPP(model, loader,
+                    [["MALA", {"step": 0.25}] for _ in range(num_chains)],
+                    theta0=torch.tensor([2.0, -2.0], dtype=torch.float64),
+                    between_step=between_step,
+                    keys=["sample", "target_val", "accepted"])
+    sampler.run(num_epochs=num_epochs, num_burnin_epochs=burnin, verbose=False)
+    chain = sampler.get_chain()  # coldest chain (default indicator)
+    samples = chain.get_samples().numpy()
+    # the reference records accepted=None on iterations where a swap reset
+    # the sub-sampler state, which breaks its own acceptance_rate(); filter
+    accs = []
+    for s in sampler.samplers:
+        vals = [int(v) for v in s.get_chain().vals["accepted"] if v is not None]
+        accs.append(sum(vals) / max(len(vals), 1))
+    return {"mean": samples.mean(0), "sd": samples.std(0),
+            "acceptance": float(np.mean(accs)),
+            "n": len(samples)}
+
+
+def run_ours_pp(num_epochs=6000, burnin=1000, num_chains=5, between_step=2):
+    """Our scanned PowerPosteriorSampler, categorical swap scheme (the
+    reference's serial-sweep semantics)."""
+    from eeyore_tpu.models import DistributionModel
+    from eeyore_tpu.samplers import PowerPosteriorSampler
+
+    cov = np.array([[1.0, 0.5], [0.5, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    model = DistributionModel(lambda t, x, y: -0.5 * t @ prec @ t, num_params=2)
+    data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+    pp = PowerPosteriorSampler(model, num_chains=num_chains, sampler="MALA",
+                               sampler_kwargs={"step": 0.25},
+                               between_step=between_step,
+                               swap_scheme="categorical")
+    chains = pp.run(jax.random.PRNGKey(2), jnp.asarray([2.0, -2.0]), data,
+                    num_epochs, burnin)
+    cold = chains.get_samples()[num_chains - 1]  # coldest chain last
+    all_acc = np.mean([np.mean(np.asarray(chains.get_chain(i, key="accepted")))
+                       for i in range(num_chains)])
+    return {"mean": np.asarray(cold).mean(0), "sd": np.asarray(cold).std(0),
+            "acceptance": float(all_acc), "n": cold.shape[0]}
+
+
 def mc_se_of_mean(sd, n, ess_fraction=0.05):
     """Conservative MC error of the mean assuming >= 5% ESS."""
     return sd / np.sqrt(n * ess_fraction)
@@ -159,6 +221,18 @@ def main():
                      round(ref["acceptance"], 3), round(ours["acceptance"], 3),
                      mean_ok and acc_ok))
         print(rows[-1], flush=True)
+
+    ref = run_reference_pp()
+    ours = run_ours_pp()
+    tol = 3 * (mc_se_of_mean(ref["sd"], ref["n"]) + mc_se_of_mean(ours["sd"], ours["n"]))
+    mean_ok = bool(np.all(np.abs(ref["mean"] - ours["mean"]) < tol))
+    acc_ok = abs(ref["acceptance"] - ours["acceptance"]) < 0.1
+    ok_all &= mean_ok and acc_ok
+    rows.append(("bivariate normal / PowerPosterior (5-rung MALA ladder, coldest chain)",
+                 np.round(ref["mean"], 3).tolist(), np.round(ours["mean"], 3).tolist(),
+                 round(ref["acceptance"], 3), round(ours["acceptance"], 3),
+                 mean_ok and acc_ok))
+    print(rows[-1], flush=True)
 
     ref = run_reference_xor_mlp()
     ours = run_ours_xor_mlp()

@@ -77,11 +77,14 @@ for name, make in kernels.items():
     elapsed = time.perf_counter() - t0
 
     kept = NUM_ITERS - BURNIN
-    pooled = np.asarray(samples[:, :512, :], dtype=np.float64)  # [kept, 512, P]
-    if name == "tempering":  # counts [C, 2]: within-chain accepts / swap accepts
+    if name == "tempering":
+        # counts [C, 2]: within-chain accepts / swap accepts; posterior
+        # samples live on the COLDEST rung (every 8th lane, last in ladder)
         acc_rate = float(np.asarray(acc)[:, 0].mean()) / kept
+        pooled = np.asarray(samples[:, 7::8][:, :512, :], dtype=np.float64)
     else:
         acc_rate = float(np.asarray(acc).mean()) / kept
+        pooled = np.asarray(samples[:, :512, :], dtype=np.float64)  # [kept, 512, P]
     print(f"{name:6s} {NUM_CHAINS * NUM_ITERS / elapsed:14,.0f} samples/s  "
           f"acceptance {acc_rate:.3f}  "
           f"posterior mean head {np.round(pooled.mean((0, 1))[:3], 3)}")
