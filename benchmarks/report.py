@@ -290,7 +290,8 @@ def resident_section():
            "bench.py headline (HMC mlp221/XOR, 131072 chains, record every",
            "sample): ~151M samples/s on one v5e chip, ~1.3e6x the reference CPU.",
            "In-kernel population dual averaging (north-star iris config):",
-           "29.9M samples/s, 1.34M ESS/s at move rate 0.634."]
+           "26.4M samples/s, 1.20M ESS/s at move rate 0.64 (tuned trajectory",
+           "length is stochastic: a 7 vs 8 step tune moves throughput ~13%)."]
     return md
 
 

@@ -309,11 +309,75 @@ def config_tempering():
     return out
 
 
+def config_smc():
+    """Resident-mutation SMC vs the scanned SMCSampler on the BASELINE
+    config-5 problem: weighted posterior moments of the final cloud,
+    log-evidence, mutation acceptance, and particle-stage-mutation
+    throughput."""
+    from eeyore_tpu.ops.resident_smc import make_resident_smc
+    from eeyore_tpu.samplers.smc import SMCSampler, log_ess
+
+    N = 16384
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    betas = [(i / 20) ** 4 for i in range(21)]
+    stages, msteps = len(betas) - 1, 5
+
+    def weighted_stats(particles, log_w):
+        w = np.asarray(jax.nn.softmax(jnp.asarray(log_w)), dtype=np.float64)
+        p = np.asarray(particles, dtype=np.float64)
+        mean = w @ p
+        var = w @ (p - mean) ** 2
+        ess = float(np.exp(np.asarray(log_ess(jnp.asarray(log_w)))))
+        return mean, np.sqrt(var), ess
+
+    # resident: first call compiles, second measures (one cached program;
+    # seed is a traced scalar, so the warm call does not retrace)
+    runner = make_resident_smc(model, np.asarray(x), np.asarray(y), N,
+                               betas=betas, num_mutation_steps=msteps,
+                               mutation="MALA", mutation_step=0.05)
+    runner(0)
+    t0 = time.perf_counter()
+    particles, log_w, diag = runner(1)
+    el_res = time.perf_counter() - t0
+    mean_r, sd_r, ess_r = weighted_stats(particles, log_w)
+
+    smc = SMCSampler(model, num_particles=N, betas=betas, mutation="MALA",
+                     mutation_step=0.05, num_mutation_steps=msteps)
+    smc.run(jax.random.PRNGKey(0), (x, y))
+    t0 = time.perf_counter()
+    state, sdiag = smc.run(jax.random.PRNGKey(1), (x, y))
+    el_scan = time.perf_counter() - t0
+    mean_s, sd_s, ess_s = weighted_stats(state.particles, state.log_weights)
+
+    se = np.sqrt(sd_r**2 / ess_r + sd_s**2 / ess_s)
+    diff = np.abs(mean_r - mean_s)
+    tol = 6.0 * se + 1e-3
+    out = {
+        "config": "smc_mlp221_xor",
+        "resident_mutations_per_s": round(N * stages * msteps / el_res, 1),
+        "scanned_mutations_per_s": round(N * stages * msteps / el_scan, 1),
+        "speedup": round(el_scan / el_res, 2),
+        "resident_log_evidence": round(diag["log_evidence"], 3),
+        "scanned_log_evidence": round(sdiag["log_evidence"], 3),
+        "resident_acceptance": round(float(np.mean(diag["mutation_acceptance"])), 4),
+        "scanned_acceptance": round(float(np.mean(sdiag["mutation_acceptance"])), 4),
+        "resident_final_ess": round(diag["final_weight_ess"], 1),
+        "scanned_final_ess": round(ess_s, 1),
+        "max_moment_diff": float(diff.max()),
+        "max_moment_tol": float(tol.max()),
+        "moments_match": bool(np.all(diff < tol)),
+        "evidence_match": bool(abs(diag["log_evidence"] - sdiag["log_evidence"]) < 0.2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     assert jax.devices()[0].platform != "cpu", "resident kernels are TPU-only"
     results = {}
-    only = sys.argv[1:] or ["mh", "mala", "hmc", "gibbs", "tempering"]
-    for name, fn in [("tempering", config_tempering),
+    only = sys.argv[1:] or ["mh", "mala", "hmc", "gibbs", "tempering", "smc"]
+    for name, fn in [("tempering", config_tempering), ("smc", config_smc),
                      ("mh", config_mh), ("mala", config_mala), ("hmc", config_hmc),
                      ("gibbs", config_gibbs)]:
         if name not in only:

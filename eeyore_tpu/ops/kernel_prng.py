@@ -30,11 +30,16 @@ def normal(shape):
     (which dominates per-iteration fixed costs in the small-model resident
     kernels, docs/PERF_NOTES.md)."""
     rows, cols = shape
-    if rows == 1:
+    if rows <= 8:
+        # a single (8, 128) f32 tile either way — pairing saves nothing and
+        # the concatenate would add a copy
         u1 = uniform(shape)
         u2 = uniform(shape)
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
-    half = (rows + 1) // 2
+    # round the half up to a sublane-tile multiple so the concatenate seam
+    # sits on an (8, 128) boundary (an unaligned seam costs retile shuffles
+    # that can eat the transcendental savings)
+    half = ((rows + 1) // 2 + 7) // 8 * 8
     u1 = uniform((half, cols))
     u2 = uniform((half, cols))
     r = jnp.sqrt(-2.0 * jnp.log(u1))

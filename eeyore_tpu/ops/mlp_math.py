@@ -79,7 +79,7 @@ def prepare_data(model, x, y):
 
 
 def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const,
-            temperature, with_grad=True):
+            temperature, with_grad=True, split=False):
     """Build vg(theta [P, C], x, y, mask, loc, ivar) -> (val [1,C], grad [P,C]).
 
     x/y/mask/loc/ivar are passed per call so the same function body works on
@@ -88,6 +88,12 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
     With ``with_grad=False`` the backward pass is skipped entirely and the
     returned function yields only ``val [1, C]`` — the random-walk MH path
     (reference metropolis_hastings.py:44-54 needs no gradient).
+
+    With ``split=True`` the log-likelihood and log-prior are returned
+    SEPARATELY (untempered): ``(ll, lp, gll, glp)`` with grads [P, C] (or
+    ``(ll, lp)`` value-only) — the likelihood-tempered SMC path
+    (samplers/smc.py: pi_beta ~ prior * lik^beta) combines them with a
+    runtime beta: val = lp + beta*ll, grad = glp + beta*gll.
     """
     dims, bias, loss_kind, layer_offsets = extract_arch(model)
     num_layers = len(dims) - 1
@@ -155,7 +161,7 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
                             keepdims=True) + prior_const
         val = temperature * (log_lik + log_prior)
         if not with_grad:
-            return val
+            return (log_lik, log_prior) if split else val
 
         grad_rows = [None] * P
         for l in reversed(range(num_layers)):
@@ -176,7 +182,9 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
                     new_deltas.append(s * a * (1.0 - a))
                 deltas = new_deltas
 
-        grad = jnp.concatenate(grad_rows, axis=0)  # [P, C]
+        grad = jnp.concatenate(grad_rows, axis=0)  # [P, C] d(log_lik)/d(theta)
+        if split:
+            return log_lik, log_prior, grad, -diff * ivar
         grad = temperature * (grad - diff * ivar)
         return val, grad
 

@@ -1,0 +1,255 @@
+"""VMEM-resident SMC mutation kernel + the full tempered-SMC driver on it.
+
+SMC's hot path is the MCMC mutation pass: num_mutation_steps of MALA/MH per
+particle per tempering stage (samplers/smc.py::_mutate — the scanned
+jit(vmap(scan)) path streams every per-step tensor through HBM). Here the
+whole mutation pass for a particle block runs in ONE Pallas kernel with
+particle state pinned in VMEM, like the resident samplers
+(ops/resident_walk.py).
+
+Two SMC-specific twists:
+- the tempered target is prior * lik^beta (samplers/smc.py tempering path),
+  so the kernel uses the SPLIT chain-lane math (ops/mlp_math.py
+  make_vg(split=True)): val = lp + beta*ll, grad = glp + beta*gll;
+- beta is a RUNTIME SMEM scalar input, so one compiled kernel serves every
+  tempering stage (a baked-in beta would recompile per stage — minutes per
+  compile on this toolchain).
+
+The kernel also returns the final per-particle log-likelihood (the
+"potential"), which is exactly what the next stage's importance reweighting
+needs — so the driver never recomputes it. Reweighting, ESS checks, and
+systematic resampling are tiny O(N) host-of-kernel XLA ops
+(samplers/smc.py::systematic_resample_indices) between kernel calls.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
+from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
+from eeyore_tpu.samplers.smc import log_ess, systematic_resample_indices
+
+
+def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
+                               chain_block=4096, mutation="MALA"):
+    """Build ``fn(seed, beta, theta0s [N, P]) -> (final [N, P], pot [N],
+    acc_counts [N])``: ``num_mutation_steps`` MALA (or MH) moves per particle
+    at the likelihood-tempered target prior * lik^beta, entirely on-chip.
+    ``pot`` is the final per-particle log-likelihood (the next reweighting
+    potential). ``beta`` is a traced scalar — no recompilation across stages.
+    """
+    if mutation not in ("MALA", "MH"):
+        raise ValueError(f"unsupported mutation {mutation!r} (MALA or MH)")
+    with_grad = mutation == "MALA"
+    x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
+    if temperature != 1.0:
+        raise ValueError("pass an untempered model; SMC applies the beta ladder")
+    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                      1.0, with_grad=with_grad, split=True)
+    P = model.num_params
+    n_pad, d_in = x_pad.shape
+    k_out = y_pad.shape[1]
+    step = float(step)
+    sqrt_step = math.sqrt(step)
+
+    def kernel(seed_ref, beta_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref,
+               ivar_ref, final_ref, pot_ref, acc_ref):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+        beta = beta_ref[0]
+
+        xv = x_ref[:, :]
+        yv = y_ref[:, :]
+        maskv = mask_ref[:, :]
+        locv = loc_ref[:, :]
+        ivarv = ivar_ref[:, :]
+
+        def vg(theta):
+            return vg_math(theta, xv, yv, maskv, locv, ivarv)
+
+        theta0 = theta_ref[:, :]
+        if with_grad:
+            ll0, lp0, gll0, glp0 = vg(theta0)
+            grad0 = glp0 + beta * gll0
+        else:
+            ll0, lp0 = vg(theta0)
+            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+        val0 = lp0 + beta * ll0
+        acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+
+        def iteration(s, carry):
+            theta, val, grad, ll, acc = carry
+            z = _normal(theta.shape)
+            if with_grad:
+                prop = theta + 0.5 * step * grad + sqrt_step * z
+                ll_p, lp_p, gll_p, glp_p = vg(prop)
+                v_p = lp_p + beta * ll_p
+                g_p = glp_p + beta * gll_p
+                d_rev = theta - (prop + 0.5 * step * g_p)
+                log_rate = (v_p - val
+                            - (0.5 / step) * jnp.sum(d_rev * d_rev, axis=0, keepdims=True)
+                            + 0.5 * jnp.sum(z * z, axis=0, keepdims=True))
+            else:
+                prop = theta + sqrt_step * z
+                ll_p, lp_p = vg(prop)
+                v_p = lp_p + beta * ll_p
+                g_p = grad
+                log_rate = v_p - val
+            u = _uniform(log_rate.shape)
+            accept = jnp.log(u) < log_rate
+            theta = jnp.where(accept, prop, theta)
+            val = jnp.where(accept, v_p, val)
+            grad = jnp.where(accept, g_p, grad) if with_grad else grad
+            ll = jnp.where(accept, ll_p, ll)
+            return (theta, val, grad, ll, acc + jnp.where(accept, 1.0, 0.0))
+
+        theta, val, grad, ll, acc = jax.lax.fori_loop(
+            0, num_mutation_steps, iteration, (theta0, val0, grad0, ll0, acc0))
+        final_ref[:, :] = theta
+        pot_ref[:, :] = ll
+        acc_ref[:, :] = acc
+
+    def fn(seed, beta, theta0s):
+        theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
+        N = theta0s.shape[0]
+        if N % chain_block != 0:
+            raise ValueError(f"{N} particles not a multiple of chain_block {chain_block}")
+        num_blocks = N // chain_block
+        theta_t = theta0s.T  # [P, N]
+
+        final, pot, acc = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, d_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, k_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((P, N), jnp.float32),
+                jax.ShapeDtypeStruct((1, N), jnp.float32),
+                jax.ShapeDtypeStruct((1, N), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(jnp.asarray([seed], jnp.int32), jnp.asarray([beta], jnp.float32),
+          theta_t, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
+          jnp.asarray(loc), jnp.asarray(ivar))
+        return final.T, pot[0], acc[0]
+
+    return fn
+
+
+def make_resident_smc(model, x, y, num_particles, betas=None,
+                      num_mutation_steps=2, mutation="MALA", mutation_step=0.1,
+                      ess_threshold=0.5, chain_block=4096):
+    """Build ``runner(seed) -> (particles [N, P], log_weights [N],
+    diagnostics)``: tempered SMC (samplers/smc.py semantics: prior *
+    lik^beta path, ESS-triggered systematic resampling, evidence
+    accumulation) with all mutation passes in the resident Pallas kernel.
+
+    The WHOLE annealing pass — reweight, resample, kernel mutation — is one
+    jitted ``lax.scan`` over the beta schedule (the Pallas call sits inside
+    the scan body), so a run is a single device program: no per-stage host
+    round-trips, which dominate wall-clock over a tunneled device link. The
+    seed is a traced scalar, so the returned runner never retraces across
+    calls. Diagnostics carry the per-stage keys of SMCSampler.run
+    (+ ``log_evidence``, ``final_weight_ess``). TPU-only.
+    """
+    if betas is None:
+        betas = [(i / 10) ** 4 for i in range(0, 11)]
+    betas = np.asarray(betas, dtype=np.float32)
+    n = int(num_particles)
+    x = np.asarray(x)
+    y = np.asarray(y)
+
+    mut = make_resident_smc_mutation(
+        model, x, y, step=mutation_step, num_mutation_steps=num_mutation_steps,
+        chain_block=chain_block, mutation=mutation)
+
+    xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+
+    def stage(carry, inputs):
+        particles, pots, log_w, log_z, key = carry
+        beta_prev, beta, stage_seed = inputs
+        key, key_res = jax.random.split(key)
+
+        # 1. reweight with the cached potentials (the kernel returned them)
+        incr = (beta - beta_prev) * pots
+        norm_prev = jax.nn.softmax(log_w)
+        log_z = log_z + jax.scipy.special.logsumexp(jnp.log(norm_prev) + incr)
+        log_w = log_w + incr
+
+        # 2. ESS-triggered systematic resampling (gathers pots too)
+        ess = jnp.exp(log_ess(log_w))
+        do_resample = ess < ess_threshold * n
+        idx = systematic_resample_indices(key_res, jax.nn.softmax(log_w))
+        particles = jnp.where(do_resample, particles[idx], particles)
+        pots = jnp.where(do_resample, pots[idx], pots)
+        log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+        unique_frac = jnp.where(
+            do_resample,
+            jnp.bincount(idx, length=n).astype(particles.dtype).clip(0, 1).mean(),
+            jnp.ones((), dtype=particles.dtype))
+
+        # 3. resident-kernel mutation at the new temperature
+        particles, pots, acc = mut(stage_seed, beta, particles)
+
+        out = {"beta": beta, "ess": ess, "resampled": do_resample,
+               "mutation_acceptance": jnp.mean(acc) / num_mutation_steps,
+               "unique_frac": unique_frac}
+        return (particles, pots, log_w, log_z, key), out
+
+    def run(seed_val):
+        key = jax.random.PRNGKey(seed_val)
+        key_birth, key_stages = jax.random.split(key)
+        keys = jax.random.split(key_birth, n)
+        particles = jax.vmap(model.prior.sample)(keys).astype(jnp.float32)
+        pots = jax.vmap(lambda t: model.log_lik(t, xj, yj))(particles)
+        log_w = jnp.zeros(n, dtype=jnp.float32)
+        log_z = jnp.zeros((), dtype=jnp.float32)
+        stage_seeds = seed_val + 7919 * jnp.arange(1, len(betas), dtype=jnp.int32)
+        (particles, pots, log_w, log_z, _), diags = jax.lax.scan(
+            stage, (particles, pots, log_w, log_z, key_stages),
+            (jnp.asarray(betas[:-1]), jnp.asarray(betas[1:]), stage_seeds))
+        return particles, log_w, log_z, diags
+
+    jit_run = jax.jit(run)
+
+    def runner(seed):
+        particles, log_w, log_z, diags = jit_run(jnp.int32(seed))
+        diagnostics = {k: np.asarray(v) for k, v in diags.items()}
+        diagnostics["log_evidence"] = float(log_z)
+        diagnostics["final_weight_ess"] = float(jnp.exp(log_ess(log_w)))
+        return particles, log_w, diagnostics
+
+    return runner
+
+
+def run_smc_resident(model, x, y, num_particles, betas=None,
+                     num_mutation_steps=2, mutation="MALA", mutation_step=0.1,
+                     ess_threshold=0.5, chain_block=4096, seed=0):
+    """One-shot convenience around :func:`make_resident_smc` (builds the
+    runner, runs it once). For repeated runs build the runner once."""
+    return make_resident_smc(
+        model, x, y, num_particles, betas=betas,
+        num_mutation_steps=num_mutation_steps, mutation=mutation,
+        mutation_step=mutation_step, ess_threshold=ess_threshold,
+        chain_block=chain_block)(seed)

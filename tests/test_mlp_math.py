@@ -218,3 +218,39 @@ def test_incremental_gibbs_bce_mlp2321():
     model = MLP(loss=loss_functions["binary_classification"],
                 hparams=mlp.Hyperparameters(dims=[2, 3, 2, 1]), dtype=jnp.float32)
     check_incremental(model, x, y)
+
+
+def test_split_vg_matches_combined():
+    """make_vg(split=True) returns (ll, lp, gll, glp) whose beta-combination
+    reproduces the tempered value/gradient: lp + b*ll == log_target at
+    likelihood-temperature b; combined==split at b=1 exactly."""
+    x = RNG.normal(size=(20, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 20)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    args = (jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+            jnp.asarray(loc), jnp.asarray(ivar))
+    v_comb = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp)
+    v_split = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp, split=True)
+    v_split_val = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                          with_grad=False, split=True)
+
+    theta = jnp.asarray(RNG.normal(size=(model.num_params, 32)).astype(np.float32))
+    val, grad = v_comb(theta, *args)
+    ll, lp, gll, glp = v_split(theta, *args)
+    np.testing.assert_array_equal(np.asarray(ll + lp), np.asarray(val))
+    np.testing.assert_allclose(np.asarray(gll + glp), np.asarray(grad),
+                               rtol=1e-6, atol=1e-6)
+    ll_v, lp_v = v_split_val(theta, *args)
+    np.testing.assert_array_equal(np.asarray(ll_v), np.asarray(ll))
+    np.testing.assert_array_equal(np.asarray(lp_v), np.asarray(lp))
+
+    # beta-combination equals the likelihood-tempered target from the model
+    beta = 0.37
+    want = jax.vmap(lambda t: model.log_prior(t) + beta * model.log_lik(
+        t, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))(theta.T)
+    np.testing.assert_allclose(np.asarray((lp + beta * ll)[0]), np.asarray(want),
+                               rtol=2e-5, atol=2e-4)
