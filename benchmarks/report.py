@@ -269,7 +269,7 @@ def resident_section():
     if not path.exists():
         return []
     rr = json.loads(path.read_text())
-    md = ["", "## VMEM-resident Pallas kernel path (ops/resident_hmc.py, ops/resident_walk.py)",
+    md = ["", "## VMEM-resident Pallas kernel path (ops/resident_*.py)",
           "",
           "Whole sampling loop in one kernel, chain state pinned in VMEM, HBM",
           "touched once per recorded sample. Validated on device against the",
@@ -286,9 +286,17 @@ def resident_section():
         md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
                   f"{r['speedup']:.2f}x | {r['resident_ess_per_s']:,.0f} | "
                   f"{ess_ratio:.2f}x |")
+    smc = rr.get("smc", {})
+    if "resident_mutations_per_s" in smc:
+        md += ["",
+               f"SMC with resident-kernel mutations (ops/resident_smc.py): "
+               f"{smc['resident_mutations_per_s']:,.0f} particle-stage-mutations/s "
+               f"({smc['speedup']:.2f}x scanned), log-evidence "
+               f"{smc['resident_log_evidence']} vs {smc['scanned_log_evidence']}, "
+               f"final weight-ESS {smc['resident_final_ess']:,.0f}."]
     md += ["",
            "bench.py headline (HMC mlp221/XOR, 131072 chains, record every",
-           "sample): ~151M samples/s on one v5e chip, ~1.3e6x the reference CPU.",
+           "sample): ~161M samples/s on one v5e chip, ~1.39e6x the reference CPU.",
            "In-kernel population dual averaging (north-star iris config):",
            "26.4M samples/s, 1.20M ESS/s at move rate 0.64 (tuned trajectory",
            "length is stochastic: a 7 vs 8 step tune moves throughput ~13%)."]

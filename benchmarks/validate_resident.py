@@ -1,5 +1,6 @@
 """On-device validation + throughput for the VMEM-resident Pallas kernels
-(ops/resident_hmc.py, ops/resident_walk.py) against the scanned XLA paths.
+(ops/resident_hmc.py, ops/resident_walk.py, ops/resident_tempering.py,
+ops/resident_smc.py) against the scanned XLA paths.
 
 For each sampler the resident kernel and the scanned jit(vmap(scan)) kernel
 run the SAME statistical problem (BASELINE.md configs 1-3); we check pooled
