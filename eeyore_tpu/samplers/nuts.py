@@ -1,0 +1,301 @@
+"""No-U-Turn Sampler (NUTS): dynamic-trajectory HMC, jit-compatible.
+
+Beyond-reference capability: the reference ships HMC with a fixed trajectory
+length plus the NUTS *init-step heuristic* (reference hmc.py:38-77) and the
+NUTS *dual-averaging tuner* (reference hmcda_tuner.py:1-2, citing Hoffman &
+Gelman's Algorithms 4-5) — but not the no-u-turn trajectory itself. This
+module completes the family: multinomial NUTS (Hoffman & Gelman 2014;
+Betancourt 2017's multinomial weighting) in the iterative, fixed-memory form
+suitable for XLA (Phan & Pradhan, "Iterative NUTS"), so the whole transition
+is `lax.while_loop`s with static-shape carries — vmappable over chains and
+shardable over meshes like every other kernel here.
+
+Algorithm shape:
+- outer loop doubles the trajectory up to ``max_depth`` times, each doubling
+  integrating ``2^j`` leapfrog steps in a uniformly random direction;
+- within a subtree, U-turn checks against *every complete binary subtree*
+  use a checkpoint stack of at most ``max_depth`` saved states: leaf ``n``
+  (0-based) is stored at stack slot ``popcount(n)`` when ``n`` is even, and
+  when ``n`` is odd it is checked against the contiguous slot range
+  ``[popcount(n) - trailing_ones(n), popcount(n) - 1]`` — exactly the start
+  leaves of the subtrees that end at ``n``;
+- proposals are drawn progressively with multinomial (log-sum-exp) weights;
+  merging a finished subtree into the trajectory uses Betancourt's biased
+  progressive sampling, which favors the new subtree;
+- a doubling whose subtree U-turns or diverges (log-joint drop > 1000) is
+  discarded wholesale and ends the trajectory, as in Stan.
+
+Momentum bookkeeping: subtrees are always integrated with a POSITIVE step
+from the chosen trajectory end with locally-oriented momentum ``v * r_end``
+(leapfrog with step -e equals negate-integrate-negate), so within-subtree
+U-turn checks use raw leapfrog outputs; the finished end is installed back
+with forward-time momentum ``v * rho_last``. The U-turn criterion
+``dot(dtheta, r_left) < 0 or dot(dtheta, r_right) < 0`` is invariant under
+simultaneous negation of dtheta and both momenta, which makes the local
+checks exact for both directions.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eeyore_tpu.samplers.hmc import HMC
+from eeyore_tpu.tuners.dual_averaging import DualAveragingState, HMCDATuner
+
+DIVERGENCE_THRESHOLD = 1000.0
+
+
+def _popcount(n):
+    return jax.lax.population_count(n.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _trailing_ones(n):
+    # n ^ (n+1) is a mask of the trailing-ones run plus the bit above it.
+    return _popcount(jnp.bitwise_xor(n, n + 1)) - 1
+
+
+def _is_uturn(dtheta, r_left, r_right):
+    return jnp.logical_or(jnp.dot(dtheta, r_left) < 0, jnp.dot(dtheta, r_right) < 0)
+
+
+class NUTSState(NamedTuple):
+    sample: jax.Array
+    target_val: jax.Array
+    grad_val: jax.Array
+    accepted: jax.Array       # 1 if the returned sample moved off the previous one
+    accept_stat: jax.Array    # mean Metropolis stat over the trajectory (tuner input)
+    depth: jax.Array          # tree depth reached (int32)
+    num_leapfrogs: jax.Array  # gradient evaluations spent this transition (int32)
+    divergent: jax.Array      # 1 if the trajectory ended in a divergence (int32)
+    step: jax.Array           # current leapfrog step size (tuner-dynamic)
+    tuner: DualAveragingState
+
+
+class NUTS(HMC):
+    """No-U-Turn kernel. ``step`` is the leapfrog step size; the trajectory
+    length is chosen per transition by the no-u-turn criterion, up to
+    ``2^max_depth - 1`` leapfrog steps. Dual-averaging tuning reuses
+    :class:`HMCDATuner` on the trajectory-mean Metropolis statistic (its
+    trajectory-length rule is ignored — NUTS sets its own)."""
+
+    state_keys = ("sample", "target_val", "grad_val", "accepted", "accept_stat",
+                  "depth", "num_leapfrogs", "divergent")
+    needs_iteration = True
+
+    def __init__(self, model, step=0.1, max_depth=10, tuner=None,
+                 num_burnin_iters=0, recompute_current=False):
+        super().__init__(model, step=step, num_steps=1, tuner=tuner,
+                         num_burnin_iters=num_burnin_iters,
+                         recompute_current=recompute_current)
+        self.max_depth = int(max_depth)
+
+    def init(self, theta, x, y, key=None):
+        theta = jnp.asarray(theta)
+        target, grad = self.upto_grad_log_target(theta, x, y)
+        dtype = theta.dtype
+
+        step = self.step0
+        if self.tuner is not None:
+            if self.tuner.e0 is not None:
+                step = self.tuner.e0
+            elif key is not None:
+                step = self.find_initial_step(key, theta, x, y)
+                if self.tuner.eub is not None:
+                    step = jnp.minimum(step, self.tuner.eub)
+            tuner_state = self.tuner.init(step, dtype=dtype)
+        else:
+            tuner_state = HMCDATuner(l=1.0).init(step, dtype=dtype)  # inert placeholder
+
+        zero_i = jnp.zeros((), jnp.int32)
+        return NUTSState(
+            sample=theta, target_val=target, grad_val=grad,
+            accepted=zero_i, accept_stat=jnp.zeros((), dtype), depth=zero_i,
+            num_leapfrogs=zero_i, divergent=zero_i,
+            step=jnp.asarray(step, dtype=dtype), tuner=tuner_state,
+        )
+
+    # ---- one leapfrog step (shared with HMC's integrator semantics) ----
+
+    def _leapfrog_one(self, theta, rho, grad, step, x, y):
+        rho = rho + 0.5 * step * grad
+        theta = theta + step * rho
+        target, grad = self.upto_grad_log_target(theta, x, y)
+        rho = rho + 0.5 * step * grad
+        return theta, rho, target, grad
+
+    # ---- subtree of 2^depth leapfrog steps with checkpointed U-turn checks ----
+
+    def _build_subtree(self, key, depth, theta0, rho0, grad0, step, logp0, x, y):
+        """Integrate ``2^depth`` steps from (theta0, rho0). Returns the last
+        leaf (new trajectory end, local orientation), the multinomial
+        proposal drawn from the subtree, the subtree log-weight (relative to
+        logp0), accumulated Metropolis stats, and turning/divergence flags."""
+        p = theta0.shape[0]
+        dtype = theta0.dtype
+        num_leaves = jnp.asarray(1, jnp.int32) << depth
+        ckpt_theta = jnp.zeros((self.max_depth + 1, p), dtype)
+        ckpt_rho = jnp.zeros((self.max_depth + 1, p), dtype)
+        neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+        def cond(c):
+            n = c["n"]
+            return (n < num_leaves) & jnp.logical_not(c["turning"] | c["diverging"])
+
+        def body(c):
+            n = c["n"]
+            theta, rho, target, grad = self._leapfrog_one(
+                c["theta"], c["rho"], c["grad"], step, x, y)
+            logp = target - 0.5 * jnp.dot(rho, rho)
+            w = logp - logp0  # log weight relative to the trajectory start
+            diverging = jnp.logical_not(w > -DIVERGENCE_THRESHOLD)  # catches NaN too
+            alpha = jnp.minimum(jnp.exp(w), 1.0)
+            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+
+            # progressive multinomial draw within the subtree
+            new_lse = jnp.logaddexp(c["lse"], w)
+            u = jax.random.uniform(jax.random.fold_in(key, n), dtype=dtype)
+            take = jnp.log(u) < w - new_lse
+            prop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b),
+                (theta, target, grad), c["prop"])
+
+            # checkpoint-stack U-turn checks against complete subtrees
+            pc = _popcount(n)
+            even = (n % 2) == 0
+            store_idx = jnp.where(even, pc, self.max_depth)  # parked row when odd
+            ckpt_t = c["ckpt_theta"].at[store_idx].set(
+                jnp.where(even, theta, c["ckpt_theta"][store_idx]))
+            ckpt_r = c["ckpt_rho"].at[store_idx].set(
+                jnp.where(even, rho, c["ckpt_rho"][store_idx]))
+            idx_max = pc - 1
+            idx_min = pc - _trailing_ones(n)
+
+            def check(i, turning):
+                active = jnp.logical_not(even) & (i >= idx_min) & (i <= idx_max)
+                turn_i = _is_uturn(theta - ckpt_t[i], ckpt_r[i], rho)
+                return turning | (active & turn_i)
+
+            turning = jax.lax.fori_loop(0, self.max_depth, check, c["turning"])
+
+            return {
+                "n": n + 1, "theta": theta, "rho": rho, "target": target,
+                "grad": grad, "lse": new_lse, "prop": prop,
+                "sum_alpha": c["sum_alpha"] + alpha, "num_alpha": c["num_alpha"] + 1,
+                "ckpt_theta": ckpt_t, "ckpt_rho": ckpt_r,
+                "turning": turning, "diverging": diverging,
+            }
+
+        out = jax.lax.while_loop(cond, body, {
+            "n": jnp.zeros((), jnp.int32), "theta": theta0, "rho": rho0,
+            "target": logp0 + 0.5 * jnp.dot(rho0, rho0),  # placeholder, overwritten
+            "grad": grad0, "lse": neg_inf,
+            "prop": (theta0, jnp.zeros((), dtype), grad0),
+            "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
+            "ckpt_theta": ckpt_theta, "ckpt_rho": ckpt_rho,
+            "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
+        })
+        return out
+
+    # ---- one NUTS transition ----
+
+    def step_fn(self, key, state, x, y, iteration):
+        key_mom, key_tree = jax.random.split(key)
+        dtype = state.sample.dtype
+
+        if self.recompute_current:
+            current_target, current_grad = self.upto_grad_log_target(state.sample, x, y)
+        else:
+            current_target, current_grad = state.target_val, state.grad_val
+
+        rho0 = jax.random.normal(key_mom, state.sample.shape, dtype=dtype)
+        logp0 = current_target - 0.5 * jnp.dot(rho0, rho0)
+        step = state.step
+
+        def cond(c):
+            return (c["depth"] < self.max_depth) & jnp.logical_not(
+                c["turning"] | c["diverging"])
+
+        def body(c):
+            kd = jax.random.fold_in(key_tree, c["depth"])
+            k_dir, k_sub, k_merge = jax.random.split(kd, 3)
+            v = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0).astype(dtype)
+            go_right = v > 0
+
+            end_theta = jnp.where(go_right, c["theta_r"], c["theta_l"])
+            end_r = jnp.where(go_right, c["r_r"], c["r_l"])
+            end_grad = jnp.where(go_right, c["grad_r"], c["grad_l"])
+
+            sub = self._build_subtree(
+                k_sub, c["depth"], end_theta, v * end_r, end_grad, step, logp0, x, y)
+
+            bad = sub["turning"] | sub["diverging"]
+            # Metropolis stats accumulate over every computed leapfrog step
+            sum_alpha = c["sum_alpha"] + sub["sum_alpha"]
+            num_alpha = c["num_alpha"] + sub["num_alpha"]
+
+            # biased progressive merge (only when the subtree is valid)
+            accept_log_prob = jnp.minimum(sub["lse"] - c["lse"], 0.0)
+            u = jax.random.uniform(k_merge, dtype=dtype)
+            take = jnp.logical_not(bad) & (jnp.log(u) < accept_log_prob)
+            prop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b), sub["prop"], c["prop"])
+            lse = jnp.where(bad, c["lse"], jnp.logaddexp(c["lse"], sub["lse"]))
+
+            # install the new trajectory end (forward-time momentum v * rho)
+            ok = jnp.logical_not(bad)
+            new_end = (sub["theta"], v * sub["rho"], sub["grad"])
+            theta_r = jnp.where(ok & go_right, new_end[0], c["theta_r"])
+            r_r = jnp.where(ok & go_right, new_end[1], c["r_r"])
+            grad_r = jnp.where(ok & go_right, new_end[2], c["grad_r"])
+            theta_l = jnp.where(ok & ~go_right, new_end[0], c["theta_l"])
+            r_l = jnp.where(ok & ~go_right, new_end[1], c["r_l"])
+            grad_l = jnp.where(ok & ~go_right, new_end[2], c["grad_l"])
+
+            # whole-trajectory U-turn check after a successful doubling
+            dtheta = theta_r - theta_l
+            turning = bad | (ok & _is_uturn(dtheta, r_l, r_r))
+
+            return {
+                "depth": c["depth"] + 1,
+                "theta_l": theta_l, "r_l": r_l, "grad_l": grad_l,
+                "theta_r": theta_r, "r_r": r_r, "grad_r": grad_r,
+                "prop": prop, "lse": lse,
+                "sum_alpha": sum_alpha, "num_alpha": num_alpha,
+                "turning": turning, "diverging": c["diverging"] | sub["diverging"],
+            }
+
+        tree = jax.lax.while_loop(cond, body, {
+            "depth": jnp.zeros((), jnp.int32),
+            "theta_l": state.sample, "r_l": rho0, "grad_l": current_grad,
+            "theta_r": state.sample, "r_r": rho0, "grad_r": current_grad,
+            # the start state enters the multinomial pool with weight exp(0)
+            "prop": (state.sample, current_target, current_grad),
+            "lse": jnp.zeros((), dtype),
+            "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
+            "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
+        })
+
+        new_sample, new_target, new_grad = tree["prop"]
+        accepted = jnp.any(new_sample != state.sample).astype(jnp.int32)
+        accept_stat = tree["sum_alpha"] / jnp.maximum(tree["num_alpha"], 1).astype(dtype)
+
+        if self.tuner is not None and self.num_burnin_iters > 0:
+            tune_now = iteration < self.num_burnin_iters
+            return_e = iteration != self.num_burnin_iters - 1
+            tuner_state, e, _ = self.tuner.tune(state.tuner, accept_stat, iteration, return_e)
+            new_tuner = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(tune_now, new, old), tuner_state, state.tuner)
+            new_step = jnp.where(tune_now, e, state.step)
+        else:
+            new_tuner, new_step = state.tuner, state.step
+
+        new_state = NUTSState(
+            sample=new_sample, target_val=new_target, grad_val=new_grad,
+            accepted=accepted, accept_stat=accept_stat, depth=tree["depth"],
+            num_leapfrogs=tree["num_alpha"],
+            divergent=tree["diverging"].astype(jnp.int32),
+            step=new_step, tuner=new_tuner,
+        )
+        info = {k: getattr(new_state, k) for k in self.state_keys}
+        return new_state, info

@@ -21,7 +21,8 @@ import numpy as np
 from eeyore_tpu.kernels import IsoSEKernel
 from eeyore_tpu.models import DistributionModel
 from eeyore_tpu.samplers import (
-    AM, HMC, MALA, MetropolisHastings, PowerPosteriorSampler, RAM, sample_chain,
+    AM, HMC, MALA, MetropolisHastings, NUTS, PowerPosteriorSampler, RAM,
+    sample_chain,
 )
 from eeyore_tpu.stats import mmd
 from eeyore_tpu.tuners.dual_averaging import HMCDATuner
@@ -46,6 +47,7 @@ def main():
         "HMC+DA": HMC(model, tuner=HMCDATuner(l=1.5)),
         "AM": AM(model),
         "RAM": RAM(model),
+        "NUTS": NUTS(model, step=0.4, max_depth=8),
     }
     for name, kern in samplers.items():
         chain = sample_chain(kern, key, theta0, data, 11000, 1000)

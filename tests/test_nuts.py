@@ -1,0 +1,160 @@
+"""NUTS: checkpoint-stack combinatorics, statistical correctness on
+closed-form targets, divergence handling, and dual-averaging adaptation.
+
+The checkpoint scheme is pinned against a brute-force enumeration of the
+complete binary subtrees (the oracle the bit-tricks must reproduce); the
+sampler itself is validated the way the reference validates samplers — on
+targets with known moments (SURVEY.md section 4, point 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eeyore_tpu.models import DistributionModel
+from eeyore_tpu.samplers import NUTS, sample_chain, sample_chains
+from eeyore_tpu.samplers.nuts import _popcount, _trailing_ones
+from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+
+class TestCheckpointCombinatorics:
+    """Leaf n is stored at slot popcount(n) when even; when odd it checks
+    slots [popcount(n)-trailing_ones(n), popcount(n)-1]. The oracle: a
+    complete subtree of size 2^m ends at leaf n iff (n+1) % 2^m == 0, and
+    its start leaf s = n - 2^m + 1 must sit at the slot the check reads."""
+
+    def test_check_ranges_cover_exactly_the_complete_subtrees(self):
+        max_leaves = 1024
+        ns = jnp.arange(max_leaves, dtype=jnp.int32)
+        pcs = np.asarray(_popcount(ns))
+        tos = np.asarray(_trailing_ones(ns))
+
+        slot_of = {}  # start-leaf -> its checkpoint slot at store time
+        for n in range(max_leaves):
+            if n % 2 == 0:
+                slot_of[n] = pcs[n]
+                continue
+            # oracle: the subtrees ending at this odd leaf
+            expected_starts = []
+            m = 1
+            while (n + 1) % (1 << m) == 0:
+                expected_starts.append(n - (1 << m) + 1)
+                m += 1
+            expected_slots = sorted(slot_of[s] for s in expected_starts)
+            got_slots = list(range(pcs[n] - tos[n], pcs[n]))
+            assert got_slots == expected_slots, f"leaf {n}"
+            # and no live checkpoint outside the range is clobbered later:
+            # starts of still-open subtrees keep their slots
+            live = {s: slot_of[s] for s in slot_of
+                    if s % 2 == 0 and any((s % (1 << mm) == 0 and s + (1 << mm) - 1 > n)
+                                          for mm in range(1, 11))}
+            assert len(set(live.values())) == len(live), f"slot collision at leaf {n}"
+
+    def test_slots_stay_within_stack(self):
+        # for trees up to depth 10 the store slot never exceeds max_depth-1
+        ns = jnp.arange(0, 1 << 10, 2, dtype=jnp.int32)
+        assert int(jnp.max(_popcount(ns))) <= 9
+
+
+def _gaussian_model(cov):
+    prec = jnp.asarray(np.linalg.inv(cov))
+    return DistributionModel(lambda t, x, y: -0.5 * t @ prec @ t,
+                             num_params=cov.shape[0])
+
+
+DATA = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+
+
+class TestNUTSStatistical:
+    def test_bivariate_normal_moments(self):
+        cov = np.array([[1.0, 0.7], [0.7, 1.0]])
+        model = _gaussian_model(cov)
+        kernel = NUTS(model, step=0.4, max_depth=6)
+        chains, state = sample_chains(
+            kernel, jax.random.PRNGKey(3),
+            jnp.zeros((8, 2)) + jnp.asarray([2.0, -2.0]), DATA,
+            num_iters=1500, num_burnin_iters=500, return_state=True,
+            return_arrays=True)
+        samples = np.asarray(chains["sample"]).reshape(-1, 2)
+        n_eff_floor = 500  # conservative: NUTS mixes far better than this
+        se = np.sqrt(np.diag(cov) / n_eff_floor)
+        assert np.all(np.abs(samples.mean(axis=0)) < 4 * se)
+        est_cov = np.cov(samples.T)
+        assert np.allclose(est_cov, cov, atol=0.12)
+        # trajectory stats are sane
+        assert 0.5 < float(np.mean(chains["accept_stat"])) <= 1.0
+        assert float(np.mean(chains["depth"])) >= 1.0
+        assert float(np.mean(chains["divergent"])) == 0.0
+
+    def test_uturn_terminates_trees(self):
+        # an isotropic Gaussian with a well-matched step: trees must stop
+        # well short of max_depth (the U-turn criterion fires)
+        model = _gaussian_model(np.eye(2))
+        kernel = NUTS(model, step=0.8, max_depth=8)
+        chain = sample_chain(kernel, jax.random.PRNGKey(0), jnp.zeros(2), DATA,
+                             num_iters=200, num_burnin_iters=0)
+        depth = np.asarray(chain.vals["depth"])
+        assert depth.max() < 8
+        assert depth.mean() < 5
+        # dynamic trajectories: leapfrog counts vary across transitions
+        assert len(np.unique(np.asarray(chain.vals["num_leapfrogs"]))) > 1
+
+    def test_divergence_flag_and_finiteness(self):
+        # absurd step size on a narrow Gaussian: divergences must be flagged
+        # and the sampler must hold its ground (finite samples)
+        cov = np.diag([1.0, 1e-4])
+        model = _gaussian_model(cov)
+        kernel = NUTS(model, step=5.0, max_depth=6)
+        chain = sample_chain(kernel, jax.random.PRNGKey(1), jnp.zeros(2), DATA,
+                             num_iters=100, num_burnin_iters=0)
+        samples = np.asarray(chain.get_samples())
+        assert np.all(np.isfinite(samples))
+        assert np.asarray(chain.vals["divergent"]).mean() > 0.5
+
+    def test_dual_averaging_adapts_step(self):
+        cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+        model = _gaussian_model(cov)
+        kernel = NUTS(model, step=1.0, max_depth=8, tuner=HMCDATuner(l=1.0, d=0.8))  # l is inert: NUTS sets its own trajectory
+        chain, state = sample_chain(
+            kernel, jax.random.PRNGKey(2), jnp.asarray([1.0, -1.0]), DATA,
+            num_iters=1200, num_burnin_iters=600, return_state=True)
+        tuned = float(state.step)
+        assert np.isfinite(tuned) and 0 < tuned < 1.0
+        post_accept = float(np.mean(np.asarray(chain.vals["accept_stat"])))
+        assert 0.6 < post_accept <= 1.0
+
+    def test_matches_hmc_posterior(self):
+        # same target, NUTS vs HMC: pooled means must agree within MC error
+        from eeyore_tpu.samplers import HMC
+
+        cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+        model = _gaussian_model(cov)
+        key = jax.random.PRNGKey(7)
+        theta0s = jnp.zeros((4, 2))
+        nuts_rec = sample_chains(NUTS(model, step=0.5, max_depth=6), key, theta0s,
+                                 DATA, num_iters=1500, num_burnin_iters=500,
+                                 return_arrays=True)
+        hmc_rec = sample_chains(HMC(model, step=0.5, num_steps=8), key, theta0s,
+                                DATA, num_iters=1500, num_burnin_iters=500,
+                                return_arrays=True)
+        nuts_mean = np.asarray(nuts_rec["sample"]).reshape(-1, 2).mean(axis=0)
+        hmc_mean = np.asarray(hmc_rec["sample"]).reshape(-1, 2).mean(axis=0)
+        assert np.all(np.abs(nuts_mean - hmc_mean) < 0.25)
+
+
+class TestNUTSOnModel:
+    def test_xor_mlp_runs_and_mixes(self):
+        from eeyore_tpu.models import MLP, loss_functions, mlp
+
+        x = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
+        y = jnp.asarray([[0.0], [1.0], [1.0], [0.0]])
+        model = MLP(loss=loss_functions["binary_classification"],
+                    hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+        kernel = NUTS(model, step=0.1, max_depth=6)
+        chain = sample_chain(kernel, jax.random.PRNGKey(0),
+                             0.1 * jnp.ones(model.num_params), (x, y),
+                             num_iters=300, num_burnin_iters=100)
+        samples = np.asarray(chain.get_samples())
+        assert samples.shape == (200, model.num_params)
+        assert np.all(np.isfinite(samples))
+        assert float(np.mean(np.asarray(chain.vals["accept_stat"]))) > 0.5
