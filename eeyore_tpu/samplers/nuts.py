@@ -55,8 +55,10 @@ def _trailing_ones(n):
     return _popcount(jnp.bitwise_xor(n, n + 1)) - 1
 
 
-def _is_uturn(dtheta, r_left, r_right):
-    return jnp.logical_or(jnp.dot(dtheta, r_left) < 0, jnp.dot(dtheta, r_right) < 0)
+def _is_uturn(dtheta, v_left, v_right):
+    """Generalized U-turn criterion on VELOCITIES v = M^-1 r (reduces to the
+    identity-mass momentum criterion when inv_mass is ones)."""
+    return jnp.logical_or(jnp.dot(dtheta, v_left) < 0, jnp.dot(dtheta, v_right) < 0)
 
 
 class NUTSState(NamedTuple):
@@ -69,6 +71,10 @@ class NUTSState(NamedTuple):
     num_leapfrogs: jax.Array  # gradient evaluations spent this transition (int32)
     divergent: jax.Array      # 1 if the trajectory ended in a divergence (int32)
     step: jax.Array           # current leapfrog step size (tuner-dynamic)
+    inv_mass: jax.Array       # diagonal of M^-1 (ones unless mass_adapt froze it)
+    wf_mean: jax.Array        # Welford running mean of burn-in samples
+    wf_m2: jax.Array          # Welford sum of squared deviations
+    wf_n: jax.Array           # Welford count (int32)
     tuner: DualAveragingState
 
 
@@ -84,11 +90,17 @@ class NUTS(HMC):
     needs_iteration = True
 
     def __init__(self, model, step=0.1, max_depth=10, tuner=None,
-                 num_burnin_iters=0, recompute_current=False):
+                 num_burnin_iters=0, recompute_current=False, mass_adapt=False):
         super().__init__(model, step=step, num_steps=1, tuner=tuner,
                          num_burnin_iters=num_burnin_iters,
                          recompute_current=recompute_current)
         self.max_depth = int(max_depth)
+        # Stan-style diagonal metric warmup: Welford-estimate the posterior
+        # variances over the second quarter of burn-in, freeze
+        # M^-1 = regularized var at mid-burn-in (the remaining half re-tunes
+        # the step size against the new metric via a dual-averaging warm
+        # restart). Needs num_burnin_iters >= 20 to engage.
+        self.mass_adapt = bool(mass_adapt)
 
     def init(self, theta, x, y, key=None):
         theta = jnp.asarray(theta)
@@ -112,21 +124,25 @@ class NUTS(HMC):
             sample=theta, target_val=target, grad_val=grad,
             accepted=zero_i, accept_stat=jnp.zeros((), dtype), depth=zero_i,
             num_leapfrogs=zero_i, divergent=zero_i,
-            step=jnp.asarray(step, dtype=dtype), tuner=tuner_state,
+            step=jnp.asarray(step, dtype=dtype),
+            inv_mass=jnp.ones_like(theta),
+            wf_mean=jnp.zeros_like(theta), wf_m2=jnp.zeros_like(theta),
+            wf_n=zero_i,
+            tuner=tuner_state,
         )
 
     # ---- one leapfrog step (shared with HMC's integrator semantics) ----
 
-    def _leapfrog_one(self, theta, rho, grad, step, x, y):
+    def _leapfrog_one(self, theta, rho, grad, step, inv_mass, x, y):
         rho = rho + 0.5 * step * grad
-        theta = theta + step * rho
+        theta = theta + step * (inv_mass * rho)  # position moves at velocity M^-1 rho
         target, grad = self.upto_grad_log_target(theta, x, y)
         rho = rho + 0.5 * step * grad
         return theta, rho, target, grad
 
     # ---- subtree of 2^depth leapfrog steps with checkpointed U-turn checks ----
 
-    def _build_subtree(self, key, depth, theta0, rho0, grad0, step, logp0, x, y):
+    def _build_subtree(self, key, depth, theta0, rho0, grad0, step, inv_mass, logp0, x, y):
         """Integrate ``2^depth`` steps from (theta0, rho0). Returns the last
         leaf (new trajectory end, local orientation), the multinomial
         proposal drawn from the subtree, the subtree log-weight (relative to
@@ -145,8 +161,8 @@ class NUTS(HMC):
         def body(c):
             n = c["n"]
             theta, rho, target, grad = self._leapfrog_one(
-                c["theta"], c["rho"], c["grad"], step, x, y)
-            logp = target - 0.5 * jnp.dot(rho, rho)
+                c["theta"], c["rho"], c["grad"], step, inv_mass, x, y)
+            logp = target - 0.5 * jnp.dot(rho, inv_mass * rho)
             w = logp - logp0  # log weight relative to the trajectory start
             diverging = jnp.logical_not(w > -DIVERGENCE_THRESHOLD)  # catches NaN too
             alpha = jnp.minimum(jnp.exp(w), 1.0)
@@ -173,7 +189,7 @@ class NUTS(HMC):
 
             def check(i, turning):
                 active = jnp.logical_not(even) & (i >= idx_min) & (i <= idx_max)
-                turn_i = _is_uturn(theta - ckpt_t[i], ckpt_r[i], rho)
+                turn_i = _is_uturn(theta - ckpt_t[i], inv_mass * ckpt_r[i], inv_mass * rho)
                 return turning | (active & turn_i)
 
             turning = jax.lax.fori_loop(0, self.max_depth, check, c["turning"])
@@ -188,7 +204,7 @@ class NUTS(HMC):
 
         out = jax.lax.while_loop(cond, body, {
             "n": jnp.zeros((), jnp.int32), "theta": theta0, "rho": rho0,
-            "target": logp0 + 0.5 * jnp.dot(rho0, rho0),  # placeholder, overwritten
+            "target": jnp.zeros((), dtype),  # placeholder; first leaf overwrites
             "grad": grad0, "lse": neg_inf,
             "prop": (theta0, jnp.zeros((), dtype), grad0),
             "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
@@ -208,8 +224,10 @@ class NUTS(HMC):
         else:
             current_target, current_grad = state.target_val, state.grad_val
 
-        rho0 = jax.random.normal(key_mom, state.sample.shape, dtype=dtype)
-        logp0 = current_target - 0.5 * jnp.dot(rho0, rho0)
+        inv_mass = state.inv_mass
+        z = jax.random.normal(key_mom, state.sample.shape, dtype=dtype)
+        rho0 = z * jax.lax.rsqrt(inv_mass)  # rho ~ N(0, M), M = diag(1/inv_mass)
+        logp0 = current_target - 0.5 * jnp.dot(rho0, inv_mass * rho0)
         step = state.step
 
         def cond(c):
@@ -227,7 +245,8 @@ class NUTS(HMC):
             end_grad = jnp.where(go_right, c["grad_r"], c["grad_l"])
 
             sub = self._build_subtree(
-                k_sub, c["depth"], end_theta, v * end_r, end_grad, step, logp0, x, y)
+                k_sub, c["depth"], end_theta, v * end_r, end_grad, step, inv_mass,
+                logp0, x, y)
 
             bad = sub["turning"] | sub["diverging"]
             # Metropolis stats accumulate over every computed leapfrog step
@@ -254,7 +273,7 @@ class NUTS(HMC):
 
             # whole-trajectory U-turn check after a successful doubling
             dtheta = theta_r - theta_l
-            turning = bad | (ok & _is_uturn(dtheta, r_l, r_r))
+            turning = bad | (ok & _is_uturn(dtheta, inv_mass * r_l, inv_mass * r_r))
 
             return {
                 "depth": c["depth"] + 1,
@@ -290,12 +309,44 @@ class NUTS(HMC):
         else:
             new_tuner, new_step = state.tuner, state.step
 
+        # ---- diagonal metric warmup (Welford over burn-in samples) ----
+        new_inv_mass = state.inv_mass
+        wf_mean, wf_m2, wf_n = state.wf_mean, state.wf_m2, state.wf_n
+        if self.mass_adapt and self.num_burnin_iters >= 20:
+            warm_start = self.num_burnin_iters // 4
+            freeze_at = self.num_burnin_iters // 2
+            in_window = (iteration >= warm_start) & (iteration < freeze_at)
+            n_new = wf_n + 1
+            delta = new_sample - wf_mean
+            mean_upd = wf_mean + delta / n_new.astype(dtype)
+            m2_upd = wf_m2 + delta * (new_sample - mean_upd)
+            wf_mean = jnp.where(in_window, mean_upd, wf_mean)
+            wf_m2 = jnp.where(in_window, m2_upd, wf_m2)
+            wf_n = jnp.where(in_window, n_new, wf_n)
+
+            at_freeze = iteration == freeze_at - 1
+            n_f = jnp.maximum(wf_n, 2).astype(dtype)
+            var = wf_m2 / (n_f - 1.0)
+            # Stan's shrinkage toward unit metric for short windows
+            var_reg = (n_f / (n_f + 5.0)) * var + 1e-3 * (5.0 / (n_f + 5.0))
+            usable = at_freeze & (wf_n > 1)
+            new_inv_mass = jnp.where(usable, jnp.maximum(var_reg, 1e-10), new_inv_mass)
+            if self.tuner is not None:
+                # dual-averaging warm restart against the new metric: the
+                # remaining half of burn-in re-tunes the step from its
+                # current value
+                fresh = self.tuner.init(new_step, dtype=dtype)
+                new_tuner = jax.tree_util.tree_map(
+                    lambda f, old: jnp.where(usable, f, old), fresh, new_tuner)
+
         new_state = NUTSState(
             sample=new_sample, target_val=new_target, grad_val=new_grad,
             accepted=accepted, accept_stat=accept_stat, depth=tree["depth"],
             num_leapfrogs=tree["num_alpha"],
             divergent=tree["diverging"].astype(jnp.int32),
-            step=new_step, tuner=new_tuner,
+            step=new_step, inv_mass=new_inv_mass,
+            wf_mean=wf_mean, wf_m2=wf_m2, wf_n=wf_n,
+            tuner=new_tuner,
         )
         info = {k: getattr(new_state, k) for k in self.state_keys}
         return new_state, info

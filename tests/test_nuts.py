@@ -142,6 +142,68 @@ class TestNUTSStatistical:
         assert np.all(np.abs(nuts_mean - hmc_mean) < 0.25)
 
 
+class TestMassAdaptation:
+    def test_metric_learns_scales_and_cheapens_trajectories(self):
+        # badly-scaled Gaussian: the warmed-up diagonal metric must recover
+        # the marginal variances and make trajectories cheaper than the
+        # unit-metric sampler's
+        var = np.array([25.0, 1.0, 0.04])
+        model = _gaussian_model(np.diag(var))
+        key = jax.random.PRNGKey(5)
+        theta0 = jnp.zeros(3)
+
+        adapt = NUTS(model, step=0.5, max_depth=10, tuner=HMCDATuner(l=1.0),
+                     mass_adapt=True)
+        chain, state = sample_chain(adapt, key, theta0, DATA, num_iters=3000,
+                                    num_burnin_iters=1500, return_state=True)
+        inv_mass = np.asarray(state.inv_mass)
+        ratio = inv_mass / var
+        assert np.all(ratio > 0.2) and np.all(ratio < 5.0), ratio
+
+        plain = NUTS(model, step=0.5, max_depth=10, tuner=HMCDATuner(l=1.0))
+        chain0 = sample_chain(plain, key, theta0, DATA, num_iters=3000,
+                              num_burnin_iters=1500)
+        cost_adapt = float(np.mean(np.asarray(chain.vals["num_leapfrogs"])))
+        cost_plain = float(np.mean(np.asarray(chain0.vals["num_leapfrogs"])))
+        assert cost_adapt < cost_plain
+
+        # and the target is still sampled correctly
+        s = np.asarray(chain.get_samples())
+        est_var = s.var(axis=0)
+        assert np.all(est_var / var > 0.5) and np.all(est_var / var < 2.0)
+        assert 0.5 < float(np.mean(np.asarray(chain.vals["accept_stat"]))) <= 1.0
+
+    def test_mass_adapt_off_keeps_unit_metric(self):
+        model = _gaussian_model(np.diag([4.0, 1.0]))
+        kernel = NUTS(model, step=0.5, max_depth=6)
+        _, state = sample_chain(kernel, jax.random.PRNGKey(0), jnp.zeros(2),
+                                DATA, num_iters=100, num_burnin_iters=50,
+                                return_state=True)
+        assert np.allclose(np.asarray(state.inv_mass), 1.0)
+        assert int(state.wf_n) == 0
+
+
+class TestNUTSSharded:
+    def test_nuts_shards_over_chain_mesh(self):
+        # dynamic trajectories inside shard_map-style partitioning: the
+        # while_loops are per-chain, so the program still has no collectives
+        from jax.sharding import Mesh
+        from eeyore_tpu.parallel import sample_chains_sharded
+
+        cov = np.array([[1.0, 0.5], [0.5, 1.0]])
+        model = _gaussian_model(cov)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("chains",))
+        kernel = NUTS(model, step=0.5, max_depth=5)
+        recorded, state = sample_chains_sharded(
+            kernel, jax.random.PRNGKey(0), jnp.zeros((16, 2)), DATA,
+            num_iters=300, num_burnin_iters=100, mesh=mesh)
+        samples = np.asarray(recorded["sample"])
+        assert samples.shape == (16, 200, 2)
+        assert np.all(np.isfinite(samples))
+        pooled = samples.reshape(-1, 2)
+        assert np.all(np.abs(pooled.mean(axis=0)) < 0.3)
+
+
 class TestNUTSOnModel:
     def test_xor_mlp_runs_and_mixes(self):
         from eeyore_tpu.models import MLP, loss_functions, mlp
