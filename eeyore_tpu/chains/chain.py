@@ -1,14 +1,16 @@
-"""Chain storage base (reference: /root/reference/eeyore/chains/chain.py)."""
+"""Chain storage protocol (reference: /root/reference/eeyore/chains/chain.py).
+
+A chain backend needs ``reset`` and ``update(state)``; ``detach_and_update``
+is the device-boundary variant — it copies JAX device arrays to host numpy
+before recording (the analog of the reference's clone().detach(),
+chain.py:12-13) so stored samples never pin device memory.
+"""
 
 import numpy as np
 
 
-def _to_host(v):
-    """Detach-and-copy: device arrays -> host numpy (the analog of the
-    reference's clone().detach() before storing, chain.py:12-13)."""
-    if hasattr(v, "__array__"):
-        return np.asarray(v)
-    return v
+def _to_host(value):
+    return np.asarray(value) if hasattr(value, "__array__") else value
 
 
 class Chain:
@@ -19,4 +21,4 @@ class Chain:
         raise NotImplementedError
 
     def detach_and_update(self, state):
-        self.update({k: _to_host(v) for k, v in state.items()})
+        self.update({key: _to_host(val) for key, val in state.items()})

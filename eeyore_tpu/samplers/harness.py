@@ -145,7 +145,7 @@ class SamplerHarness:
                 if succeeded >= num_chains:
                     break
                 chain = ChainList.from_arrays({k: chains.get_chain(c, key=k)
-                                               for k in chains.vals.keys()})
+                                               for k in chains.keys()})
                 # per-chain sanity: NaNs count as runtime failures
                 if not np.all(np.isfinite(chain.get_samples())):
                     failed_errors += 1

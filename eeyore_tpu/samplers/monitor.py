@@ -11,10 +11,9 @@ import numpy as np
 
 
 def _get(arrays, key):
-    if hasattr(arrays, "vals"):
-        if key not in arrays.vals:
-            return None
-        return np.stack([np.stack(v) for v in arrays.vals[key]])
+    if hasattr(arrays, "tensor"):  # ChainLists
+        v = arrays.tensor(key) if key in arrays.keys() else None
+        return None if v is None else np.asarray(v)
     v = arrays.get(key)
     return None if v is None else np.asarray(v)
 
@@ -35,6 +34,12 @@ def summarize_run(arrays, state=None, quantiles=(0.05, 0.5, 0.95)):
             f"q{int(q*100)}": float(np.quantile(rates, q)) for q in quantiles}
         out["acceptance_mean"] = float(rates.mean())
         out["num_stuck_chains"] = int(np.sum(rates < 0.01))
+
+    accept_stat = _get(arrays, "accept_stat")
+    if accept_stat is not None:
+        # Like-for-like Metropolis acceptance for kernels (NUTS) whose
+        # `accepted` means "sample moved" rather than "proposal accepted".
+        out["accept_stat_mean"] = float(accept_stat.mean())
 
     target = _get(arrays, "target_val")
     if target is not None:

@@ -65,9 +65,15 @@ class NUTSState(NamedTuple):
     sample: jax.Array
     target_val: jax.Array
     grad_val: jax.Array
-    accepted: jax.Array       # 1 if the returned sample moved off the previous one
+    accepted: jax.Array       # 1 if the returned sample moved off the previous one.
+                              # NOTE: a different semantic from HMCState.accepted
+                              # (Metropolis accept) — for like-for-like acceptance
+                              # monitoring across kernels use ``accept_stat``,
+                              # which IS the mean Metropolis statistic.
     accept_stat: jax.Array    # mean Metropolis stat over the trajectory (tuner input)
-    depth: jax.Array          # tree depth reached (int32)
+    depth: jax.Array          # tree depth USED: kept doublings only, as in
+                              # Stan's treedepth (a discarded final subtree
+                              # does not count) (int32)
     num_leapfrogs: jax.Array  # gradient evaluations spent this transition (int32)
     divergent: jax.Array      # 1 if the trajectory ended in a divergence (int32)
     step: jax.Array           # current leapfrog step size (tuner-dynamic)
@@ -82,8 +88,9 @@ class NUTS(HMC):
     """No-U-Turn kernel. ``step`` is the leapfrog step size; the trajectory
     length is chosen per transition by the no-u-turn criterion, up to
     ``2^max_depth - 1`` leapfrog steps. Dual-averaging tuning reuses
-    :class:`HMCDATuner` on the trajectory-mean Metropolis statistic (its
-    trajectory-length rule is ignored — NUTS sets its own)."""
+    :class:`HMCDATuner` on the trajectory-mean Metropolis statistic; construct
+    it WITHOUT a trajectory length (``HMCDATuner()``) — NUTS chooses its own
+    trajectory lengths, so the tuner's ``l``/num_steps rule is unused."""
 
     state_keys = ("sample", "target_val", "grad_val", "accepted", "accept_stat",
                   "depth", "num_leapfrogs", "divergent")
@@ -150,8 +157,12 @@ class NUTS(HMC):
         p = theta0.shape[0]
         dtype = theta0.dtype
         num_leaves = jnp.asarray(1, jnp.int32) << depth
-        ckpt_theta = jnp.zeros((self.max_depth + 1, p), dtype)
-        ckpt_rho = jnp.zeros((self.max_depth + 1, p), dtype)
+        # A subtree never exceeds 2^(max_depth-1) leaves, so even-leaf store
+        # slots max out at popcount <= max_depth-2; one extra row parks the
+        # writes of odd leaves -> max_depth rows total.
+        num_slots = self.max_depth - 1
+        ckpt_theta = jnp.zeros((num_slots + 1, p), dtype)
+        ckpt_rho = jnp.zeros((num_slots + 1, p), dtype)
         neg_inf = jnp.asarray(-jnp.inf, dtype)
 
         def cond(c):
@@ -179,7 +190,7 @@ class NUTS(HMC):
             # checkpoint-stack U-turn checks against complete subtrees
             pc = _popcount(n)
             even = (n % 2) == 0
-            store_idx = jnp.where(even, pc, self.max_depth)  # parked row when odd
+            store_idx = jnp.where(even, pc, num_slots)  # parked row when odd
             ckpt_t = c["ckpt_theta"].at[store_idx].set(
                 jnp.where(even, theta, c["ckpt_theta"][store_idx]))
             ckpt_r = c["ckpt_rho"].at[store_idx].set(
@@ -192,7 +203,7 @@ class NUTS(HMC):
                 turn_i = _is_uturn(theta - ckpt_t[i], inv_mass * ckpt_r[i], inv_mass * rho)
                 return turning | (active & turn_i)
 
-            turning = jax.lax.fori_loop(0, self.max_depth, check, c["turning"])
+            turning = jax.lax.fori_loop(0, num_slots, check, c["turning"])
 
             return {
                 "n": n + 1, "theta": theta, "rho": rho, "target": target,
@@ -277,6 +288,9 @@ class NUTS(HMC):
 
             return {
                 "depth": c["depth"] + 1,
+                # Stan-style treedepth: count only KEPT doublings — a subtree
+                # that U-turned or diverged was discarded wholesale.
+                "kept_depth": jnp.where(bad, c["kept_depth"], c["depth"] + 1),
                 "theta_l": theta_l, "r_l": r_l, "grad_l": grad_l,
                 "theta_r": theta_r, "r_r": r_r, "grad_r": grad_r,
                 "prop": prop, "lse": lse,
@@ -286,6 +300,7 @@ class NUTS(HMC):
 
         tree = jax.lax.while_loop(cond, body, {
             "depth": jnp.zeros((), jnp.int32),
+            "kept_depth": jnp.zeros((), jnp.int32),
             "theta_l": state.sample, "r_l": rho0, "grad_l": current_grad,
             "theta_r": state.sample, "r_r": rho0, "grad_r": current_grad,
             # the start state enters the multinomial pool with weight exp(0)
@@ -341,7 +356,7 @@ class NUTS(HMC):
 
         new_state = NUTSState(
             sample=new_sample, target_val=new_target, grad_val=new_grad,
-            accepted=accepted, accept_stat=accept_stat, depth=tree["depth"],
+            accepted=accepted, accept_stat=accept_stat, depth=tree["kept_depth"],
             num_leapfrogs=tree["num_alpha"],
             divergent=tree["diverging"].astype(jnp.int32),
             step=new_step, inv_mass=new_inv_mass,

@@ -25,8 +25,10 @@ class DualAveragingState(NamedTuple):
 class HMCDATuner:
     """Static tuner config; ``init``/``tune`` are pure."""
 
-    def __init__(self, l, e0=None, d=0.65, eub=None, g=0.05, t0=10, k=0.75):
-        self.l = l          # target trajectory length: num_steps = max(1, round(l / e))
+    def __init__(self, l=None, e0=None, d=0.65, eub=None, g=0.05, t0=10, k=0.75):
+        self.l = l          # target trajectory length: num_steps = max(1, round(l / e));
+                            # None (the default) means the kernel sets its own
+                            # trajectory length (NUTS) and num_steps() pins 1.
         self.e0 = e0        # initial step; None -> use HMC's init_step heuristic
         self.d = d          # target acceptance rate
         self.eub = eub      # optional upper bound on the step during tuning
@@ -44,7 +46,10 @@ class HMCDATuner:
         )
 
     def num_steps(self, e):
-        """max(1, round(l / e)) as an int32 (traced)."""
+        """max(1, round(l / e)) as an int32 (traced); 1 when no trajectory
+        length was configured (the NUTS case)."""
+        if self.l is None:
+            return jnp.ones_like(e, dtype=jnp.int32)
         return jnp.maximum(1, jnp.round(self.l / e)).astype(jnp.int32)
 
     def tune(self, state, rate, idx, return_e):
