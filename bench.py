@@ -58,18 +58,23 @@ def build():
 
 
 def bench_resident(num_chains, num_iters, repeats=3):
-    """Headline path: the VMEM-resident whole-loop Pallas HMC kernel
-    (ops/resident_hmc.py) — chain state never leaves the chip; HBM is touched
-    once per recorded sample."""
+    """Headline path: the VMEM-resident whole-loop Pallas HMC kernel in the
+    dense chain-tile layout (ops/resident_hmc_dense.py) — chain state never
+    leaves the chip, chains fill both sublanes and lanes of every tile, and
+    the XOR rows are unrolled as compile-time constants (2.7x the
+    data-on-sublanes kernel at this shape, benchmarks/DENSE_RESULTS.json)."""
     import numpy as np
 
-    from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+    from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
 
     model, kernel, schedule = build()
     x, y = np.asarray(schedule.x[0]), np.asarray(schedule.y[0])
-    fn = jax.jit(make_resident_hmc(model, x, y, step=0.05, num_steps=10,
-                                   num_iters=num_iters, num_burnin_iters=0,
-                                   chain_block=8192))
+    # raw dense outputs: skip the device-side transpose back to chain-major
+    # order (~10% of wall at 256 iters); correctness checks below read the
+    # dense tiles directly
+    fn = jax.jit(make_resident_hmc_dense(model, x, y, step=0.05, num_steps=10,
+                                         num_iters=num_iters, num_burnin_iters=0,
+                                         chain_block=8192, unstack_outputs=False))
     theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
                                       (num_chains, model.num_params), dtype=jnp.float32)
     samples, final, acc = fn(7, theta0s)
@@ -84,7 +89,7 @@ def bench_resident(num_chains, num_iters, repeats=3):
         sps = num_chains * num_iters / elapsed
         best = sps if best is None else max(best, sps)
 
-    last = np.asarray(samples[-1])
+    last = np.asarray(samples[-1])  # [P*8, C/8] dense tile of the last sample
     assert np.all(np.isfinite(last)), "non-finite samples"
     assert 0.2 < float(acc.mean()) / num_iters <= 1.0, "acceptance out of range"
     return best, elapsed

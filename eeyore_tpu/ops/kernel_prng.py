@@ -46,3 +46,19 @@ def normal(shape):
     a = 2.0 * math.pi * u2
     z = jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
     return z[:rows, :]
+
+
+def normal_tiles(count, shape):
+    """``count`` independent N(0,1) tiles of ``shape`` — the dense chain-tile
+    layout's draw (one tile per model parameter). ceil(count/2) Box-Muller
+    pairs; an odd trailing tile computes only the cos half (no wasted sin)."""
+    tiles = []
+    for pair in range((count + 1) // 2):
+        u1 = uniform(shape)
+        u2 = uniform(shape)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        a = (2.0 * math.pi) * u2
+        tiles.append(r * jnp.cos(a))
+        if 2 * pair + 1 < count:
+            tiles.append(r * jnp.sin(a))
+    return tiles

@@ -1,0 +1,192 @@
+"""VMEM-resident HMC in the dense chain-tile layout (small datasets).
+
+Same whole-loop-in-one-Pallas-kernel structure as ops/resident_hmc.py — the
+chain state never leaves VMEM; HBM is touched once per recorded sample — but
+built on ops/mlp_dense.py: chains fill both sublanes AND lanes of every tile
+(one [8, lane_block] tile per scalar parameter), the data loop is unrolled
+with x/y folded in as constants, and parameter-space work (prior, leapfrog
+updates, momentum draws, accept selects) runs at exact tile density. For
+XOR-sized data this removes the half-empty sublane rows that bound the
+data-on-sublanes kernel (see mlp_dense module docstring), and the momentum
+draw needs ceil(P/2) Box-Muller pairs with at most one discarded half
+instead of a 16-row tile for 9 parameter rows.
+
+Reference semantics are identical to resident_hmc (HMC draw:
+/root/reference/eeyore/samplers/hmc.py:126-170; in-kernel dual averaging =
+hmcda_tuner.py:40-59 population variant).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eeyore_tpu.ops.kernel_prng import normal_tiles, uniform as _uniform
+from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
+
+
+def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
+                            num_burnin_iters=0, chain_block=8192, record_thin=1,
+                            tuner=None, max_num_steps=64, unstack_outputs=True):
+    """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
+    accept_counts [C])`` running the whole HMC loop on-chip in the dense
+    layout. C must be a multiple of ``chain_block``; ``chain_block`` must be
+    a multiple of 1024 (8 sublanes x 128 lanes).
+
+    ``unstack_outputs=False`` skips the device-side transpose back to
+    chain-major order and returns the raw dense tiles instead —
+    ``(samples [kept, P*8, C/8], final [P*8, C/8], acc [8, C/8])``, chain id
+    c = sublane*(C/8) + column; use ops.mlp_dense.unstack_chains to recover
+    chain-major arrays host-side for the slices actually needed."""
+    vg = make_vg_dense(model, x, y)
+    P = model.num_params
+    if chain_block % 1024:
+        raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
+    lane_block = chain_block // 8
+    rows = P * 8
+    kept = (num_iters - num_burnin_iters) // record_thin
+    step = float(step)
+    tile = (8, lane_block)
+
+    def kernel(seed_ref, theta_ref, samples_ref, final_ref, acc_ref,
+               stage_ref, dma_sem):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+
+        theta0 = tuple(theta_ref[p * 8:(p + 1) * 8, :] for p in range(P))
+        val0, grad0 = vg(theta0)
+        acc0 = jnp.zeros(tile, dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
+
+        step0 = jnp.float32(step)
+        n_steps0 = jnp.int32(num_steps)
+        tuner_m = jnp.log(10.0 * step0)
+        barh0 = jnp.float32(0.0)
+        logbare0 = jnp.float32(0.0)
+
+        def iteration(t, carry):
+            theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare = carry
+            mom = normal_tiles(P, tile)
+            ke = mom[0] * mom[0]
+            for p in range(1, P):
+                ke = ke + mom[p] * mom[p]
+            h_cur = -val + 0.5 * ke
+
+            p_half = tuple(mom[p] + (0.5 * cur_step) * grad[p] for p in range(P))
+
+            def lf_body(s, c):
+                th, pm, v, g = c
+                th = tuple(th[p] + cur_step * pm[p] for p in range(P))
+                v, g = vg(th)
+                factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
+                pm = tuple(pm[p] + (factor * cur_step) * g[p] for p in range(P))
+                return (th, pm, v, tuple(g))
+
+            th, pm, v, g = jax.lax.fori_loop(
+                0, cur_n_steps, lf_body, (theta, p_half, val, tuple(grad)))
+
+            ke_p = pm[0] * pm[0]
+            for p in range(1, P):
+                ke_p = ke_p + pm[p] * pm[p]
+            h_prop = -v + 0.5 * ke_p
+            rates = jnp.minimum(jnp.exp(h_cur - h_prop), 1.0)
+            u = _uniform(tile)
+            accept = u < rates
+
+            theta = tuple(jnp.where(accept, th[p], theta[p]) for p in range(P))
+            val = jnp.where(accept, v, val)
+            grad = tuple(jnp.where(accept, g[p], grad[p]) for p in range(P))
+            acc = acc + jnp.where(t >= num_burnin_iters, 1.0, 0.0) * jnp.where(accept, 1.0, 0.0)
+
+            if tuner is not None:
+                # population dual averaging on the block-mean acceptance
+                # (Hoffman-Gelman Alg 5), frozen after burn-in
+                it = (t + 1).astype(jnp.float32)
+                d_w = 1.0 / (it + tuner.t0)
+                e_w = jnp.exp(-tuner.k * jnp.log(it))
+                mean_rate = jnp.mean(rates)
+                new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - mean_rate)
+                loge = tuner_m - jnp.sqrt(it) * new_barh / tuner.g
+                if tuner.eub is not None:
+                    loge = jnp.minimum(loge, jnp.float32(math.log(tuner.eub)))
+                new_logbare = e_w * loge + (1.0 - e_w) * logbare
+                last_burnin = t == num_burnin_iters - 1
+                new_step = jnp.where(last_burnin, jnp.exp(new_logbare), jnp.exp(loge))
+                new_n_steps = jnp.clip(
+                    jnp.round(tuner.l / new_step).astype(jnp.int32), 1, max_num_steps)
+                tune_now = t < num_burnin_iters
+                barh = jnp.where(tune_now, new_barh, barh)
+                logbare = jnp.where(tune_now, new_logbare, logbare)
+                cur_step = jnp.where(tune_now, new_step, cur_step)
+                cur_n_steps = jnp.where(tune_now, new_n_steps, cur_n_steps)
+
+            rec = jnp.logical_and(t >= num_burnin_iters,
+                                  (t - num_burnin_iters) % record_thin == 0)
+
+            @pl.when(rec)
+            def _():
+                for p in range(P):
+                    stage_ref[p * 8:(p + 1) * 8, :] = theta[p]
+                idx = (t - num_burnin_iters) // record_thin
+                dma = pltpu.make_async_copy(
+                    stage_ref,
+                    samples_ref.at[idx, :, pl.ds(i_blk * lane_block, lane_block)],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return (theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare)
+
+        theta, val, grad, acc, *_ = jax.lax.fori_loop(
+            0, num_iters, iteration,
+            (theta0, val0, tuple(grad0), acc0, step0, n_steps0, barh0, logbare0))
+        for p in range(P):
+            final_ref[p * 8:(p + 1) * 8, :] = theta[p]
+        acc_ref[:, :] = acc
+
+    def fn(seed, theta0s):
+        theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
+        C = theta0s.shape[0]
+        if C % chain_block != 0:
+            raise ValueError(f"{C} chains not a multiple of chain_block {chain_block}")
+        num_blocks = C // chain_block
+        total_lanes = C // 8
+        dense = stack_chains(theta0s)  # [P*8, C/8]
+
+        samples, final, acc = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
+                pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, lane_block), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(jnp.asarray([seed], jnp.int32), dense)
+
+        if not unstack_outputs:
+            return samples, final, acc
+        return (unstack_chains(samples, P),        # [kept, C, P]
+                unstack_chains(final, P),          # [C, P]
+                acc.reshape(-1))                   # [C]
+
+    return fn

@@ -1,0 +1,198 @@
+"""VMEM-resident MH and MALA in the dense chain-tile layout (small datasets).
+
+Same whole-loop structure as ops/resident_walk.py but built on
+ops/mlp_dense.py: one [8, lane_block] tile per scalar parameter, chains on
+both sublanes and lanes, data unrolled with x/y as constants. The walk
+kernels profit even more than HMC from the dense layout because they are
+proposal-PRNG-bound: a [P, C] Normal draw in the data-on-sublanes layout
+transforms 16 sublane rows to use 9 (P=9), while P dense tiles waste at most
+one Box-Muller half — and the accept uniforms fill all 8 sublanes instead
+of one row in eight.
+
+Semantics match the scanned kernels exactly (same algebra as resident_walk:
+MALA asymmetric Hastings with cancelled Normal constants, reference
+/root/reference/eeyore/samplers/mala.py:35-66; MH symmetric Normal walk,
+metropolis_hastings.py:25-67).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eeyore_tpu.ops.kernel_prng import normal_tiles, uniform as _uniform
+from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
+
+
+def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
+                         record_thin, iteration_factory, with_grad):
+    """Dense-layout scaffold: build fn(seed, theta0s [C, P]) ->
+    (samples [kept, C, P], final [C, P], accept_counts [C]).
+
+    ``iteration_factory(vg, tile) -> (state_init, move)`` with
+    ``state_init(theta_tiles) -> (val, grad_tiles)`` and
+    ``move(theta, val, grad, acc, gate) -> (theta, val, grad, acc)`` where
+    theta/grad are tuples of P [8, lane_block] tiles and val/acc are single
+    tiles (one slot per chain)."""
+    vg = make_vg_dense(model, x, y, with_grad=with_grad)
+    P = model.num_params
+    if chain_block % 1024:
+        raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
+    lane_block = chain_block // 8
+    rows = P * 8
+    kept = (num_iters - num_burnin_iters) // record_thin
+    tile = (8, lane_block)
+
+    def kernel(seed_ref, theta_ref, samples_ref, final_ref, acc_ref,
+               stage_ref, dma_sem):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+
+        state_init, move = iteration_factory(vg, tile)
+
+        theta0 = tuple(theta_ref[p * 8:(p + 1) * 8, :] for p in range(P))
+        val0, grad0 = state_init(theta0)
+        acc0 = jnp.zeros(tile, dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
+
+        def iteration(t, carry):
+            theta, val, grad, acc = carry
+            gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
+            theta, val, grad, acc = move(theta, val, grad, acc, gate)
+
+            rec = jnp.logical_and(t >= num_burnin_iters,
+                                  (t - num_burnin_iters) % record_thin == 0)
+
+            @pl.when(rec)
+            def _():
+                for p in range(P):
+                    stage_ref[p * 8:(p + 1) * 8, :] = theta[p]
+                idx = (t - num_burnin_iters) // record_thin
+                dma = pltpu.make_async_copy(
+                    stage_ref,
+                    samples_ref.at[idx, :, pl.ds(i_blk * lane_block, lane_block)],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+            return (theta, val, grad, acc)
+
+        theta, val, grad, acc = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        for p in range(P):
+            final_ref[p * 8:(p + 1) * 8, :] = theta[p]
+        acc_ref[:, :] = acc
+
+    def fn(seed, theta0s):
+        theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
+        C = theta0s.shape[0]
+        if C % chain_block != 0:
+            raise ValueError(f"{C} chains not a multiple of chain_block {chain_block}")
+        num_blocks = C // chain_block
+        total_lanes = C // 8
+        dense = stack_chains(theta0s)
+
+        samples, final, acc = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, lane_block), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(jnp.asarray([seed], jnp.int32), dense)
+
+        return (unstack_chains(samples, P),
+                unstack_chains(final, P),
+                acc.reshape(-1))
+
+    return fn
+
+
+def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
+                           chain_block=8192, record_thin=1):
+    """Whole-loop random-walk MH, dense layout: symmetric iid-Normal
+    proposal, value-only forward (no backward pass)."""
+    scale = float(scale)
+
+    def factory(v, tile):
+        def state_init(theta0):
+            return v(theta0), ()
+
+        def move(theta, val, grad, acc, gate):
+            P = len(theta)
+            z = normal_tiles(P, tile)
+            prop = tuple(theta[p] + scale * z[p] for p in range(P))
+            v_p = v(prop)
+            u = _uniform(tile)
+            accept = jnp.log(u) < v_p - val
+            theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
+            val = jnp.where(accept, v_p, val)
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+
+        return state_init, move
+
+    return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
+                                chain_block, record_thin, factory, with_grad=False)
+
+
+def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
+                             chain_block=8192, record_thin=1):
+    """Whole-loop MALA, dense layout: one fused value-and-grad per iteration
+    with the full asymmetric Hastings correction (cancelled Normal constants,
+    as in resident_walk.make_resident_mala)."""
+    step = float(step)
+    sqrt_step = math.sqrt(step)
+
+    def factory(vg, tile):
+        def state_init(theta0):
+            val0, grad0 = vg(theta0)
+            return val0, tuple(grad0)
+
+        def move(theta, val, grad, acc, gate):
+            P = len(theta)
+            z = normal_tiles(P, tile)
+            prop = tuple(theta[p] + (0.5 * step) * grad[p] + sqrt_step * z[p]
+                         for p in range(P))
+            v_p, g_p = vg(prop)
+            # ||theta - (prop + 0.5*step*g_p)||^2 accumulated per tile;
+            # ||prop - fwd_mean||^2 = step * sum(z^2)
+            d0 = theta[0] - (prop[0] + (0.5 * step) * g_p[0])
+            rev_sq = d0 * d0
+            z_sq = z[0] * z[0]
+            for p in range(1, P):
+                dp = theta[p] - (prop[p] + (0.5 * step) * g_p[p])
+                rev_sq = rev_sq + dp * dp
+                z_sq = z_sq + z[p] * z[p]
+            log_rate = v_p - val - (0.5 / step) * rev_sq + 0.5 * z_sq
+            u = _uniform(tile)
+            accept = jnp.log(u) < log_rate
+            theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
+            val = jnp.where(accept, v_p, val)
+            grad = tuple(jnp.where(accept, g_p[p], grad[p]) for p in range(P))
+            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+
+        return state_init, move
+
+    return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
+                                chain_block, record_thin, factory, with_grad=True)

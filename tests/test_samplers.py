@@ -133,6 +133,19 @@ class TestMonitor:
         assert summary["tuned_step"]["mean"] > 0
         assert summary["tuned_num_steps"]["max"] >= 1
 
+    def test_summarize_run_accept_stat(self):
+        """NUTS runs expose accept_stat (the mean Metropolis statistic) as
+        the like-for-like acceptance metric: its `accepted` key means
+        'sample moved', a different semantic from MH-family kernels."""
+        from eeyore_tpu.samplers import NUTS, summarize_run
+
+        kern = NUTS(bvn_model(), step=0.5, max_depth=5)
+        theta0s = jax.random.normal(jax.random.PRNGKey(3), (4, 2))
+        arrays = sample_chains(kern, KEY, theta0s, EMPTY, 200, 0,
+                               return_arrays=True)
+        summary = summarize_run(arrays)
+        assert 0.0 < summary["accept_stat_mean"] <= 1.0
+
 
 class TestMinibatchMode:
     def test_recompute_current_runs(self):
