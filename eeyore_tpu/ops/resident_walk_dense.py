@@ -19,6 +19,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -28,15 +29,20 @@ from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
 
 
 def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
-                         record_thin, iteration_factory, with_grad):
+                         record_thin, iteration_factory, with_grad,
+                         acc_tiles=1, consts=()):
     """Dense-layout scaffold: build fn(seed, theta0s [C, P]) ->
-    (samples [kept, C, P], final [C, P], accept_counts [C]).
+    (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_tiles]).
 
-    ``iteration_factory(vg, tile) -> (state_init, move)`` with
+    ``iteration_factory(vg, tile, const_vals) -> (state_init, move)`` with
     ``state_init(theta_tiles) -> (val, grad_tiles)`` and
-    ``move(theta, val, grad, acc, gate) -> (theta, val, grad, acc)`` where
-    theta/grad are tuples of P [8, lane_block] tiles and val/acc are single
-    tiles (one slot per chain)."""
+    ``move(theta, val, grad, accs, gate, t) -> (theta, val, grad, accs)``
+    where theta/grad are tuples of P [8, lane_block] tiles, val is a single
+    tile (one slot per chain) and ``accs`` is a tuple of ``acc_tiles``
+    counter tiles. ``consts`` is a tuple of [1, lane_block] float32 numpy
+    arrays shipped as broadcast VMEM inputs (Pallas kernels cannot capture
+    traced array constants); they must be block-periodic since every grid
+    block sees the same values."""
     vg = make_vg_dense(model, x, y, with_grad=with_grad)
     P = model.num_params
     if chain_block % 1024:
@@ -45,23 +51,27 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
     rows = P * 8
     kept = (num_iters - num_burnin_iters) // record_thin
     tile = (8, lane_block)
+    consts = tuple(np.asarray(c, dtype=np.float32).reshape(1, lane_block)
+                   for c in consts)
 
-    def kernel(seed_ref, theta_ref, samples_ref, final_ref, acc_ref,
-               stage_ref, dma_sem):
+    def kernel(seed_ref, theta_ref, *rest):
+        const_refs = rest[:len(consts)]
+        samples_ref, final_ref, acc_ref, stage_ref, dma_sem = rest[len(consts):]
         i_blk = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i_blk)
 
-        state_init, move = iteration_factory(vg, tile)
+        const_vals = tuple(r[:, :] for r in const_refs)
+        state_init, move = iteration_factory(vg, tile, const_vals)
 
         theta0 = tuple(theta_ref[p * 8:(p + 1) * 8, :] for p in range(P))
         val0, grad0 = state_init(theta0)
-        acc0 = jnp.zeros(tile, dtype=jnp.float32)
+        accs0 = tuple(jnp.zeros(tile, dtype=jnp.float32) for _ in range(acc_tiles))
         stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
 
         def iteration(t, carry):
-            theta, val, grad, acc = carry
+            theta, val, grad, accs = carry
             gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
-            theta, val, grad, acc = move(theta, val, grad, acc, gate)
+            theta, val, grad, accs = move(theta, val, grad, accs, gate, t)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
@@ -79,13 +89,14 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
                 dma.start()
                 dma.wait()
 
-            return (theta, val, grad, acc)
+            return (theta, val, grad, accs)
 
-        theta, val, grad, acc = jax.lax.fori_loop(
-            0, num_iters, iteration, (theta0, val0, grad0, acc0))
+        theta, val, grad, accs = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, accs0))
         for p in range(P):
             final_ref[p * 8:(p + 1) * 8, :] = theta[p]
-        acc_ref[:, :] = acc
+        for a in range(acc_tiles):
+            acc_ref[a * 8:(a + 1) * 8, :] = accs[a]
 
     def fn(seed, theta0s):
         theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
@@ -102,16 +113,20 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, lane_block), lambda i: (0, 0), memory_space=pltpu.VMEM)
+                for _ in consts
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((acc_tiles * 8, lane_block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
-                jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((acc_tiles * 8, total_lanes), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((rows, lane_block), jnp.float32),
@@ -120,11 +135,13 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
-        )(jnp.asarray([seed], jnp.int32), dense)
+        )(jnp.asarray([seed], jnp.int32), dense, *[jnp.asarray(c) for c in consts])
 
+        acc_out = (acc.reshape(-1) if acc_tiles == 1
+                   else acc.reshape(acc_tiles, 8 * total_lanes).T)  # [C, acc_tiles]
         return (unstack_chains(samples, P),
                 unstack_chains(final, P),
-                acc.reshape(-1))
+                acc_out)
 
     return fn
 
@@ -135,11 +152,11 @@ def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
     proposal, value-only forward (no backward pass)."""
     scale = float(scale)
 
-    def factory(v, tile):
+    def factory(v, tile, _consts):
         def state_init(theta0):
             return v(theta0), ()
 
-        def move(theta, val, grad, acc, gate):
+        def move(theta, val, grad, accs, gate, t):
             P = len(theta)
             z = normal_tiles(P, tile)
             prop = tuple(theta[p] + scale * z[p] for p in range(P))
@@ -148,7 +165,7 @@ def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
             accept = jnp.log(u) < v_p - val
             theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
             val = jnp.where(accept, v_p, val)
-            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, (accs[0] + gate * jnp.where(accept, 1.0, 0.0),)
 
         return state_init, move
 
@@ -164,12 +181,12 @@ def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
     step = float(step)
     sqrt_step = math.sqrt(step)
 
-    def factory(vg, tile):
+    def factory(vg, tile, _consts):
         def state_init(theta0):
             val0, grad0 = vg(theta0)
             return val0, tuple(grad0)
 
-        def move(theta, val, grad, acc, gate):
+        def move(theta, val, grad, accs, gate, t):
             P = len(theta)
             z = normal_tiles(P, tile)
             prop = tuple(theta[p] + (0.5 * step) * grad[p] + sqrt_step * z[p]
@@ -190,7 +207,7 @@ def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
             theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
             val = jnp.where(accept, v_p, val)
             grad = tuple(jnp.where(accept, g_p[p], grad[p]) for p in range(P))
-            return theta, val, grad, acc + gate * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, (accs[0] + gate * jnp.where(accept, 1.0, 0.0),)
 
         return state_init, move
 

@@ -64,15 +64,18 @@ def sample_chains_sharded(kernel, key, theta0s, data, num_iters, num_burnin_iter
 
 def run_resident_hmc_sharded(model, x, y, key_seed, theta0s, step, num_steps,
                              num_iters, num_burnin_iters=0, chain_block=2048,
-                             mesh=None, axis_name="chains"):
-    """The VMEM-resident whole-loop HMC kernel (ops/resident_hmc.py) sharded
-    over the mesh's chain axis: each device runs the Pallas kernel on its
-    local chain chunk (chains are independent — zero collectives).
+                             mesh=None, axis_name="chains", dense=False):
+    """The VMEM-resident whole-loop HMC kernel (ops/resident_hmc.py, or the
+    dense chain-tile variant ops/resident_hmc_dense.py with ``dense=True``
+    — the fast path for sub-8-row datasets) sharded over the mesh's chain
+    axis: each device runs the Pallas kernel on its local chain chunk
+    (chains are independent — zero collectives).
 
     Returns (samples [kept, C, P], final [C, P], accept_counts [C]), sharded
     on the chain axis.
     """
     from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+    from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
     from eeyore_tpu.parallel.mesh import chain_mesh
 
     mesh = mesh or chain_mesh(axis_name=axis_name)
@@ -83,9 +86,10 @@ def run_resident_hmc_sharded(model, x, y, key_seed, theta0s, step, num_steps,
         raise ValueError(f"{C} chains must divide over {n_shards} shards of "
                          f"chain_block {chain_block}")
 
-    fn = make_resident_hmc(model, x, y, step=step, num_steps=num_steps,
-                           num_iters=num_iters, num_burnin_iters=num_burnin_iters,
-                           chain_block=chain_block)
+    maker = make_resident_hmc_dense if dense else make_resident_hmc
+    fn = maker(model, x, y, step=step, num_steps=num_steps,
+               num_iters=num_iters, num_burnin_iters=num_burnin_iters,
+               chain_block=chain_block)
 
     def shard_body(theta_block):
         dev = jax.lax.axis_index(axis_name)

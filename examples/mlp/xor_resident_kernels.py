@@ -1,4 +1,6 @@
-"""The VMEM-resident Pallas fast path: whole-loop HMC / MALA / MH / Gibbs.
+"""The VMEM-resident Pallas fast path: whole-loop HMC / MALA / MH / Gibbs,
+plus the dense chain-tile variants (chains on sublanes AND lanes, the fast
+path for sub-8-row datasets like XOR — ops/mlp_dense.py).
 
 Runs the XOR MLP(2,2,1) posterior with each resident kernel and prints
 throughput + posterior diagnostics. TPU-only (the on-core PRNG has no CPU
@@ -26,11 +28,17 @@ import numpy as np
 
 from eeyore_tpu.models import MLP, loss_functions, mlp
 from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
 from eeyore_tpu.ops.resident_tempering import make_resident_tempering
+from eeyore_tpu.ops.resident_tempering_dense import make_resident_tempering_dense
 from eeyore_tpu.ops.resident_walk import (
     make_resident_gibbs,
     make_resident_mala,
     make_resident_mh,
+)
+from eeyore_tpu.ops.resident_walk_dense import (
+    make_resident_mala_dense,
+    make_resident_mh_dense,
 )
 
 NUM_CHAINS = 16384
@@ -62,6 +70,22 @@ kernels = {
                                          num_iters=NUM_ITERS,
                                          num_burnin_iters=BURNIN,
                                          chain_block=4096),
+    # dense chain-tile variants: same semantics, ~1.4-2.9x on XOR-sized data
+    "hmc-dense": make_resident_hmc_dense(model, x, y, step=0.05, num_steps=10,
+                                         num_iters=NUM_ITERS,
+                                         num_burnin_iters=BURNIN,
+                                         chain_block=8192),
+    "mala-dense": make_resident_mala_dense(model, x, y, step=0.05,
+                                           num_iters=NUM_ITERS,
+                                           num_burnin_iters=BURNIN,
+                                           chain_block=8192),
+    "mh-dense": make_resident_mh_dense(model, x, y, scale=0.1,
+                                       num_iters=NUM_ITERS,
+                                       num_burnin_iters=BURNIN,
+                                       chain_block=8192),
+    "tempering-dense": make_resident_tempering_dense(
+        model, x, y, num_rungs=8, step=0.05, sampler="MALA", between_step=10,
+        num_iters=NUM_ITERS, num_burnin_iters=BURNIN, chain_block=8192),
 }
 
 theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
@@ -77,7 +101,7 @@ for name, make in kernels.items():
     elapsed = time.perf_counter() - t0
 
     kept = NUM_ITERS - BURNIN
-    if name == "tempering":
+    if name.startswith("tempering"):
         # counts [C, 2]: within-chain accepts / swap accepts; posterior
         # samples live on the COLDEST rung (every 8th lane, last in ladder)
         acc_rate = float(np.asarray(acc)[:, 0].mean()) / kept
