@@ -126,9 +126,45 @@ def bench_scanned(num_chains, num_iters, repeats=3):
     return best, elapsed
 
 
+def bench_resident_sublane(num_chains, num_iters, repeats=3):
+    """Middle fallback: the data-on-sublanes resident kernel."""
+    import numpy as np
+
+    from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+
+    model, kernel, schedule = build()
+    x, y = np.asarray(schedule.x[0]), np.asarray(schedule.y[0])
+    fn = jax.jit(make_resident_hmc(model, x, y, step=0.05, num_steps=10,
+                                   num_iters=num_iters, num_burnin_iters=0,
+                                   chain_block=8192))
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (num_chains, model.num_params), dtype=jnp.float32)
+    samples, final, acc = fn(7, theta0s)
+    jax.block_until_ready(final)
+
+    best = None
+    for _ in range(repeats):
+        start = time.perf_counter()
+        samples, final, acc = fn(7, theta0s)
+        jax.block_until_ready(final)
+        elapsed = time.perf_counter() - start
+        sps = num_chains * num_iters / elapsed
+        best = sps if best is None else max(best, sps)
+
+    last = np.asarray(samples[-1])
+    assert np.all(np.isfinite(last)), "non-finite samples"
+    assert 0.2 < float(acc.mean()) / num_iters <= 1.0, "acceptance out of range"
+    return best, elapsed
+
+
 def bench(num_chains=131072, num_iters=256, repeats=3):
     try:
         return bench_resident(num_chains, num_iters, repeats)
+    except Exception as err:
+        print(f"dense resident kernel unavailable ({type(err).__name__}); "
+              "falling back to the sublane resident kernel", file=sys.stderr)
+    try:
+        return bench_resident_sublane(num_chains, num_iters, repeats)
     except Exception as err:
         print(f"resident kernel unavailable ({type(err).__name__}); "
               "falling back to scanned path", file=sys.stderr)

@@ -65,19 +65,25 @@ class ChainFile(Chain):
                     np.savetxt(f, a2, fmt=fmt.get(key, "%.18e"), delimiter=",")
 
     def to_chainlist(self, keys=None, dtype=np.float64):
+        from eeyore_tpu import native
         from eeyore_tpu.chains.chain_list import ChainList
+
+        def load(fpath):
+            """Native strtod parser when available, numpy.loadtxt otherwise;
+            always a 2-D float64 [rows, cols] array."""
+            parsed = native.read_csv(fpath)
+            if parsed is None:
+                parsed = np.loadtxt(fpath, delimiter=",", dtype=np.float64, ndmin=2)
+            return parsed
 
         keys = set(keys or self.vals.keys()) & {"sample", "target_val", "grad_val", "accepted"}
         vals = {}
         for key in keys:
-            fpath = self.path / (key + ".csv")
+            rows = load(self.path / (key + ".csv"))
             if key == "accepted":
-                rows = np.loadtxt(fpath, delimiter=",", dtype=np.int64, ndmin=1)
-                vals[key] = [int(r) for r in np.atleast_1d(rows)]
+                vals[key] = [int(r) for r in rows[:, 0]]
             elif key == "target_val":
-                rows = np.loadtxt(fpath, delimiter=",", dtype=dtype, ndmin=1)
-                vals[key] = list(np.atleast_1d(rows))
+                vals[key] = list(rows[:, 0].astype(dtype))
             else:  # sample / grad_val: vector rows
-                rows = np.loadtxt(fpath, delimiter=",", dtype=dtype, ndmin=2)
-                vals[key] = list(rows)
+                vals[key] = list(rows.astype(dtype))
         return ChainList(keys=tuple(vals.keys()), vals=vals)

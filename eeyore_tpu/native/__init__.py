@@ -82,3 +82,30 @@ def write_csv(path, array, mode="a"):
     if rc != 0:
         raise OSError(f"chainstore write failed with code {rc} for {path}")
     return True
+
+
+def read_csv(path):
+    """Parse a chainstore CSV back into a float64 [rows, cols] array through
+    the native strtod loop (numpy.loadtxt is ~10x slower on %.18e cells).
+    Returns None if the caller should fall back to numpy."""
+    import numpy as np
+
+    lib = get_chainstore()
+    if lib is None:
+        return None
+    path = Path(path)
+    size = path.stat().st_size
+    if size == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    with open(path, "r") as f:
+        first = f.readline()
+    cols = first.count(",") + 1
+    # every cell is at least one char plus a separator/newline
+    max_rows = size // (2 * cols) + 2
+    out = np.empty((max_rows, cols), dtype=np.float64)
+    rows = lib.read_csv_f64(str(path).encode(),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                            max_rows, cols)
+    if rows < 0:
+        return None
+    return out[:rows].copy()

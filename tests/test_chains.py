@@ -123,6 +123,26 @@ class TestChainFile:
         np.testing.assert_array_equal(back.get_target_vals(), arrays["target_val"])
         assert back.vals["accepted"] == list(arrays["accepted"])
 
+    def test_native_reader_matches_loadtxt(self, tmp_path):
+        """The C++ strtod parser must agree exactly with numpy.loadtxt on
+        %.18e float and %d int CSVs (it backs ChainFile.to_chainlist)."""
+        from eeyore_tpu import native
+
+        if native.get_chainstore() is None:
+            import pytest
+
+            pytest.skip("no native toolchain")
+        f64 = RNG.normal(size=(200, 5)) * 10.0 ** RNG.integers(-30, 30, (200, 5))
+        np.savetxt(tmp_path / "f.csv", f64, fmt="%.18e", delimiter=",")
+        got = native.read_csv(tmp_path / "f.csv")
+        ref = np.loadtxt(tmp_path / "f.csv", delimiter=",", ndmin=2)
+        np.testing.assert_array_equal(got, ref)
+
+        ints = RNG.integers(0, 2, (50, 1))
+        np.savetxt(tmp_path / "i.csv", ints, fmt="%d", delimiter=",")
+        got = native.read_csv(tmp_path / "i.csv")
+        np.testing.assert_array_equal(got[:, 0].astype(np.int64), ints[:, 0])
+
     def test_update_all(self, tmp_path):
         arrays = {"sample": RNG.normal(size=(15, 2)), "target_val": RNG.normal(size=15),
                   "accepted": np.ones(15, dtype=int)}
