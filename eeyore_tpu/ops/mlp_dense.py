@@ -116,12 +116,8 @@ def make_vg_dense(model, x, y, with_grad=True):
                             term = acts[l - 1][i] * theta[w_idx(l, j, i)]
                             acc = term if acc is None else acc + term
                     z_l.append(zeros if acc is None else acc)
-                if l < num_layers - 1 or loss_kind == "bce":
-                    sig = [jax.nn.sigmoid(z) for z in z_l]
-                    if l < num_layers - 1:
-                        acts.append(sig)
-                    else:
-                        out_sig = sig
+                if l < num_layers - 1:
+                    acts.append([jax.nn.sigmoid(z) for z in z_l])
                 zs_out = z_l
 
             # ---- loss at this point + output deltas ----
@@ -131,11 +127,18 @@ def make_vg_dense(model, x, y, with_grad=True):
                     z = zs_out[j]
                     yv = float(y[d, j])
                     ll_j = fma_const(None, yv, z)
-                    sp = jax.nn.softplus(z)
+                    # softplus and sigmoid share one exp(-|z|) — both stable
+                    # forms need exactly that quantity:
+                    #   softplus(z) = max(z, 0) + log1p(e)
+                    #   sigmoid(z)  = 1/(1+e) if z >= 0 else e/(1+e)
+                    e = jnp.exp(-jnp.abs(z))
+                    sp = jnp.maximum(z, 0.0) + jnp.log1p(e)
                     ll_j = -sp if ll_j is None else ll_j - sp
                     log_lik = ll_j if log_lik is None else log_lik + ll_j
                     if with_grad:
-                        deltas.append(np.float32(yv) - out_sig[j])
+                        inv = 1.0 / (1.0 + e)
+                        sig = jnp.where(z >= 0, inv, e * inv)
+                        deltas.append(np.float32(yv) - sig)
             else:
                 zmax = zs_out[0]
                 for j in range(1, k_out):

@@ -116,6 +116,23 @@ class TestESSRhat:
         # AR(1) rho=0.9 univariate ESS factor = (1-rho)/(1+rho) ~ 0.052
         assert ess < 0.25 * 4000
 
+    def test_ess_high_dimension_logdet_stable(self):
+        """The log-det-space ESS must stay finite where raw determinants
+        under/overflow float64 (tiny per-dim variances, many dims)."""
+        x = 1e-8 * RNG.normal(size=(3000, 50))  # det(cov) ~ 1e-800: underflows
+        ess = st.multi_ess(x, method="iid")
+        assert np.isfinite(ess)
+        assert 0.5 * 3000 < ess < 1.6 * 3000
+
+    def test_ess_singular_covariance(self):
+        """A constant column makes both covariances singular: det/det is 0/0
+        and the estimate is nan — the reference's raw determinant ratio
+        (multi_ess.py:6-14) yields exactly the same."""
+        x = RNG.normal(size=(500, 3))
+        x[:, 2] = 1.0
+        with np.errstate(invalid="ignore"):
+            assert np.isnan(st.multi_ess(x, method="iid"))
+
     def test_rhat_converged_near_one(self):
         x = RNG.normal(size=(4, 2000, 3))
         rhat, imag, w, b, w_pd, b_pd = st.multi_rhat(x, method="iid")
