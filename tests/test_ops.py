@@ -111,6 +111,61 @@ class TestFusedHMC:
         assert abs(acc - 0.65) < 0.15  # population DA pulls toward d=0.65
 
 
+class TestDenseKernelContracts:
+    """CPU-checkable contracts of the dense resident kernels (the kernels
+    themselves need TPU hardware; statistics validated on-device in
+    benchmarks/validate_dense*.py)."""
+
+    def _model_xy(self):
+        import numpy as np
+
+        from eeyore_tpu.models import MLP, loss_functions, mlp
+
+        x = np.array([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], dtype=np.float32)
+        y = np.array([[0.], [1.], [1.], [0.]], dtype=np.float32)
+        model = MLP(loss=loss_functions["binary_classification"],
+                    hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+        return model, x, y
+
+    def test_chain_block_must_be_tile_multiple(self):
+        import pytest
+
+        from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
+
+        model, x, y = self._model_xy()
+        with pytest.raises(ValueError, match="1024"):
+            make_resident_hmc_dense(model, x, y, step=0.05, num_steps=10,
+                                    num_iters=16, chain_block=512)
+
+    def test_chains_must_divide_blocks(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
+
+        model, x, y = self._model_xy()
+        fn = make_resident_hmc_dense(model, x, y, step=0.05, num_steps=10,
+                                     num_iters=16, chain_block=1024)
+        with pytest.raises(ValueError, match="multiple"):
+            fn(0, jnp.zeros((1536, model.num_params)))
+
+    def test_tempering_dense_validation(self):
+        import pytest
+
+        from eeyore_tpu.ops.resident_tempering_dense import (
+            make_resident_tempering_dense,
+        )
+
+        model, x, y = self._model_xy()
+        with pytest.raises(ValueError, match="sampler"):
+            make_resident_tempering_dense(model, x, y, num_rungs=8,
+                                          sampler="HMC", chain_block=8192)
+        model.temperature = 0.5
+        with pytest.raises(ValueError, match="untempered"):
+            make_resident_tempering_dense(model, x, y, num_rungs=8,
+                                          chain_block=8192)
+
+
 class TestResidentTemperingLayout:
     """CPU-testable pieces of the resident tempering kernel: the ladder-major
     lane constants and the even/odd roll-based swap shuffle (simulated with
