@@ -294,12 +294,47 @@ def resident_section():
                f"({smc['speedup']:.2f}x scanned), log-evidence "
                f"{smc['resident_log_evidence']} vs {smc['scanned_log_evidence']}, "
                f"final weight-ESS {smc['resident_final_ess']:,.0f}."]
+    md += dense_section()
     md += ["",
-           "bench.py headline (HMC mlp221/XOR, 131072 chains, record every",
-           "sample): ~161M samples/s on one v5e chip, ~1.39e6x the reference CPU.",
-           "In-kernel population dual averaging (north-star iris config):",
-           "26.4M samples/s, 1.20M ESS/s at move rate 0.64 (tuned trajectory",
-           "length is stochastic: a 7 vs 8 step tune moves throughput ~13%)."]
+           "bench.py headline (dense chain-tile HMC, mlp221/XOR, 131072 chains,",
+           "record every sample): ~472M samples/s on one v5e chip, ~4.1e6x the",
+           "reference CPU. In-kernel population dual averaging (north-star iris",
+           "config, sublane layout): 26.4M samples/s, 1.20M ESS/s at move rate",
+           "0.64 (tuned trajectory length is stochastic: a 7 vs 8 step tune",
+           "moves throughput ~13%)."]
+    return md
+
+
+def dense_section():
+    """Render the dense chain-tile kernel results (benchmarks/validate_dense*.py
+    output, DENSE_RESULTS.json) so regenerating the report never drops them."""
+    path = Path(__file__).parent / "DENSE_RESULTS.json"
+    if not path.exists():
+        return []
+    dr = json.loads(path.read_text())
+    md = ["", "## Dense chain-tile kernels (ops/*_dense.py, sub-8-row datasets)",
+          "",
+          "Chains fill both sublanes and lanes (one [8, lanes] tile per scalar",
+          "parameter); the data loop is unrolled with x/y folded in as",
+          "compile-time constants. Validated on device like the resident path.", "",
+          "| config | dense samples/s | vs comparator | moments | acceptance |",
+          "|---|---|---|---|---|"]
+    for section in ("validation", ):
+        r = dr.get(section)
+        if r and "resident_sps" in r:
+            md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
+                      f"{r['speedup']:.2f}x | {r['moments_match']} | "
+                      f"{r['acceptance_match']} |")
+    for r in dr.get("walk_validation", {}).values():
+        if "resident_sps" in r:
+            md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
+                      f"{r['speedup']:.2f}x | {r['moments_match']} | "
+                      f"{r['acceptance_match']} |")
+    r = dr.get("tempering_validation")
+    if r and "resident_sps" in r:
+        md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
+                  f"{r['speedup']:.2f}x | {r['moments_match']} | "
+                  f"{r['acceptance_match']} |")
     return md
 
 
