@@ -30,6 +30,7 @@ from eeyore_tpu import (
     models,
     ops,
     parallel,
+    plots,
     samplers,
     stats,
     tuners,
