@@ -19,22 +19,40 @@ from eeyore_tpu.chains import ChainList, ChainLists
 from eeyore_tpu.datasets import as_schedule
 
 
-def _phase_scan(kernel, key, state, schedule, start, length, record_keys):
-    """Scan ``length`` iterations starting at global iteration ``start``."""
+def _phase_scan(kernel, key, state, schedule, start, length, record_keys, thin=1):
+    """Scan ``length`` iterations starting at global iteration ``start``,
+    recording every ``thin``-th state (the last of each thin-block)."""
     if length == 0:
         return state, None
 
-    def body(state, i):
+    def step_at(state, i, record):
         k = jax.random.fold_in(key, i)
         xb, yb = schedule.batch(i)
         state, info = kernel.step(k, state, xb, yb, i)
-        out = {kk: info[kk] for kk in record_keys} if record_keys is not None else None
-        return state, out
+        if not record:
+            return state, None
+        return state, {kk: info[kk] for kk in record_keys}
 
-    return jax.lax.scan(body, state, jnp.arange(start, start + length))
+    if record_keys is None or thin == 1:
+        def body(state, i):
+            return step_at(state, i, record_keys is not None)
+
+        return jax.lax.scan(body, state, jnp.arange(start, start + length))
+
+    def thin_block(state, j):
+        base = start + j * thin
+
+        def silent(state, i):
+            state, _ = step_at(state, i, False)
+            return state, None
+
+        state, _ = jax.lax.scan(silent, state, base + jnp.arange(thin - 1))
+        return step_at(state, base + thin - 1, True)
+
+    return jax.lax.scan(thin_block, state, jnp.arange(length // thin))
 
 
-def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys):
+def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys, record_thin=1):
     """Build the pure (key, theta0) -> (final_state, recorded) function."""
 
     def run(key, theta0):
@@ -44,14 +62,15 @@ def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys):
         state, _ = _phase_scan(kernel, chain_key, state, schedule, 0, num_burnin_iters, None)
         state, recorded = _phase_scan(
             kernel, chain_key, state, schedule, num_burnin_iters, num_iters - num_burnin_iters,
-            record_keys,
+            record_keys, thin=record_thin,
         )
         return state, recorded
 
     return run
 
 
-def _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, vmapped):
+def _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, vmapped,
+                record_thin=1):
     """Per-kernel jit cache: repeated runs with the same iteration plan reuse
     the compiled program instead of retracing a fresh closure."""
     cache = getattr(kernel, "_jit_cache", None)
@@ -61,46 +80,64 @@ def _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, vmap
     # program as constants); the cache entry keeps the schedule alive so ids
     # cannot be recycled
     cache_key = (id(schedule), num_iters, num_burnin_iters, record_keys, vmapped,
-                 kernel.recompute_current, getattr(kernel, "num_burnin_iters", None))
+                 kernel.recompute_current, getattr(kernel, "num_burnin_iters", None),
+                 record_thin)
     if cache_key not in cache:
-        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
+        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys,
+                    record_thin=record_thin)
         if vmapped:
             fn = jax.vmap(fn)
         cache[cache_key] = (jax.jit(fn), schedule)
     return cache[cache_key][0]
 
 
+def _check_thin(num_iters, num_burnin_iters, record_thin):
+    kept_span = num_iters - num_burnin_iters
+    if record_thin < 1 or kept_span % record_thin:
+        raise ValueError(
+            f"record_thin={record_thin} must divide the {kept_span} "
+            "post-burn-in iterations")
+
+
 def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
-                 record_keys=None, jit=True, return_state=False):
+                 record_keys=None, jit=True, return_state=False, record_thin=1):
     """Run one chain; returns a ChainList of the post-burn-in states.
 
     ``num_iters`` counts ALL iterations including burn-in (the reference's
     epochs x batches), ``num_burnin_iters`` of which are discarded.
+    ``record_thin`` keeps every thin-th post-burn-in state (the chain holds
+    ``(num_iters - num_burnin_iters) / record_thin`` rows).
     """
     schedule = as_schedule(data)
+    _check_thin(num_iters, num_burnin_iters, record_thin)
     kernel.recompute_current = schedule.num_batches != 1
     if hasattr(kernel, "num_burnin_iters"):
         kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
     record_keys = tuple(record_keys or kernel.state_keys)
 
     if jit:
-        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, False)
+        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys,
+                         False, record_thin)
     else:
-        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys)
+        fn = run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys,
+                    record_thin=record_thin)
     state, recorded = fn(key, jnp.asarray(theta0))
     chain = ChainList.from_arrays({k: np.asarray(v) for k, v in recorded.items()})
     return (chain, state) if return_state else chain
 
 
 def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
-                  record_keys=None, jit=True, return_state=False, return_arrays=False):
+                  record_keys=None, jit=True, return_state=False, return_arrays=False,
+                  record_thin=1):
     """Run many chains at once: vmap over (key, theta0).
 
     ``theta0s``: [num_chains, num_params]. Returns a ChainLists (or the raw
     stacked arrays {key: [num_chains, kept_iters, ...]} with
     ``return_arrays=True`` — the TPU-native path, no host conversion).
+    ``record_thin`` keeps every thin-th post-burn-in state.
     """
     schedule = as_schedule(data)
+    _check_thin(num_iters, num_burnin_iters, record_thin)
     kernel.recompute_current = schedule.num_batches != 1
     if hasattr(kernel, "num_burnin_iters"):
         kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
@@ -111,9 +148,11 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
     keys = jax.random.split(key, num_chains)
 
     if jit:
-        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys, True)
+        fn = _cached_jit(kernel, schedule, num_iters, num_burnin_iters, record_keys,
+                         True, record_thin)
     else:
-        fn = jax.vmap(run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys))
+        fn = jax.vmap(run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys,
+                             record_thin=record_thin))
     state, recorded = fn(keys, theta0s)
 
     if return_arrays:

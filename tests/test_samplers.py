@@ -133,6 +133,23 @@ class TestMonitor:
         assert summary["tuned_step"]["mean"] > 0
         assert summary["tuned_num_steps"]["max"] >= 1
 
+    def test_record_thin_matches_sliced_full_run(self):
+        """Thinning records the last state of each thin-block, so a thinned
+        run must equal the full run sliced [thin-1::thin] (per-iteration RNG
+        keys make the state trajectory independent of recording)."""
+        kern = MALA(bvn_model(), step=0.4)
+        theta0 = jnp.asarray([0.5, -0.5])
+        full = sample_chain(kern, KEY, theta0, EMPTY, 120, 40)
+        thinned = sample_chain(kern, KEY, theta0, EMPTY, 120, 40, record_thin=4)
+        assert len(thinned) == 20
+        np.testing.assert_array_equal(thinned.get_samples(),
+                                      full.get_samples()[3::4])
+
+        import pytest
+
+        with pytest.raises(ValueError, match="record_thin"):
+            sample_chain(kern, KEY, theta0, EMPTY, 120, 40, record_thin=7)
+
     def test_summarize_run_accept_stat(self):
         """NUTS runs expose accept_stat (the mean Metropolis statistic) as
         the like-for-like acceptance metric: its `accepted` key means
