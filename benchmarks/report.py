@@ -297,7 +297,7 @@ def resident_section():
     md += dense_section()
     md += ["",
            "bench.py headline (dense chain-tile HMC, mlp221/XOR, 131072 chains,",
-           "record every sample): ~472M samples/s on one v5e chip, ~4.1e6x the",
+           "record every sample): ~483M samples/s on one v5e chip, ~4.2e6x the",
            "reference CPU. In-kernel population dual averaging (north-star iris",
            "config, sublane layout): 26.4M samples/s, 1.20M ESS/s at move rate",
            "0.64 (tuned trajectory length is stochastic: a 7 vs 8 step tune",
@@ -335,6 +335,13 @@ def dense_section():
         md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
                   f"{r['speedup']:.2f}x | {r['moments_match']} | "
                   f"{r['acceptance_match']} |")
+    t = dr.get("walk_tuner_validation")
+    if t:
+        md += ["",
+               "In-kernel population dual averaging (dense walk kernels): "
+               f"MH tuned to acceptance {t['mh_tuned_acceptance']} "
+               f"(target {t['mh_target']}), MALA to "
+               f"{t['mala_tuned_acceptance']} (target {t['mala_target']})."]
     return md
 
 

@@ -1,0 +1,77 @@
+"""On-device check of the in-kernel population dual-averaging tuners of the
+dense walk kernels: after burn-in the block-mean acceptance must sit near the
+tuner's target (0.234 for random-walk MH, 0.574 for MALA) regardless of a
+badly chosen initial scale/step.
+
+Usage: python benchmarks/validate_dense_tuned.py
+Appends to benchmarks/DENSE_RESULTS.json. TPU-only.
+"""
+
+import json
+import sys
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from validate_resident import mlp_model, xor_data  # noqa: E402
+
+from eeyore_tpu.ops.resident_walk_dense import (  # noqa: E402
+    make_resident_mala_dense,
+    make_resident_mh_dense,
+)
+from eeyore_tpu.tuners.dual_averaging import HMCDATuner  # noqa: E402
+
+C, T, BURNIN = 16384, 2048, 1024
+
+
+def post_burnin_acceptance(fn):
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (C, 9), dtype=jnp.float32)
+    _, final, acc = jax.jit(fn)(7, theta0s)
+    jax.block_until_ready(final)
+    assert np.all(np.isfinite(np.asarray(final)))
+    return float(np.asarray(acc).mean()) / (T - BURNIN)
+
+
+def main():
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    xn, yn = np.asarray(x), np.asarray(y)
+    out = {}
+
+    # deliberately bad initial values: far too large a walk scale, far too
+    # small a Langevin step — the tuner must pull both to their targets
+    acc_mh = post_burnin_acceptance(make_resident_mh_dense(
+        model, xn, yn, scale=2.0, num_iters=T, num_burnin_iters=BURNIN,
+        chain_block=8192, tuner=HMCDATuner(d=0.234)))
+    out["mh_tuned_acceptance"] = round(acc_mh, 4)
+    out["mh_target"] = 0.234
+    out["mh_on_target"] = bool(abs(acc_mh - 0.234) < 0.05)
+    print(json.dumps({"mh": out["mh_tuned_acceptance"]}), flush=True)
+
+    acc_mala = post_burnin_acceptance(make_resident_mala_dense(
+        model, xn, yn, step=1e-4, num_iters=T, num_burnin_iters=BURNIN,
+        chain_block=8192, tuner=HMCDATuner(d=0.574)))
+    out["mala_tuned_acceptance"] = round(acc_mala, 4)
+    out["mala_target"] = 0.574
+    out["mala_on_target"] = bool(abs(acc_mala - 0.574) < 0.05)
+    print(json.dumps({"mala": out["mala_tuned_acceptance"]}), flush=True)
+
+    path = Path(__file__).parent / "DENSE_RESULTS.json"
+    results = json.loads(path.read_text()) if path.exists() else {}
+    results["walk_tuner_validation"] = out
+    path.write_text(json.dumps(results, indent=2) + "\n")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,7 +130,7 @@ def make_resident_tempering_dense(model, x, y, num_rungs, step=0.01,
                     for g in grad)
             return theta, val, grad, acc_s + gate * acc_lower
 
-        def move(theta, val, grad, accs, gate, t):
+        def move(theta, val, grad, accs, extra, gate, t):
             acc_w, acc_s = accs
             theta, val, grad, acc_w = within_move(theta, val, grad, acc_w, gate)
             do_swap = (t % between_step) == 0
@@ -143,7 +143,7 @@ def make_resident_tempering_dense(model, x, y, num_rungs, step=0.01,
             if with_grad:
                 grad = tuple(jnp.where(do_swap, grad_s[p], grad[p])
                              for p in range(len(grad)))
-            return theta, val, grad, (acc_w, acc_s)
+            return theta, val, grad, (acc_w, acc_s), extra
 
         return state_init, move
 

@@ -35,14 +35,16 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_tiles]).
 
     ``iteration_factory(vg, tile, const_vals) -> (state_init, move)`` with
-    ``state_init(theta_tiles) -> (val, grad_tiles)`` and
-    ``move(theta, val, grad, accs, gate, t) -> (theta, val, grad, accs)``
-    where theta/grad are tuples of P [8, lane_block] tiles, val is a single
-    tile (one slot per chain) and ``accs`` is a tuple of ``acc_tiles``
-    counter tiles. ``consts`` is a tuple of [1, lane_block] float32 numpy
-    arrays shipped as broadcast VMEM inputs (Pallas kernels cannot capture
-    traced array constants); they must be block-periodic since every grid
-    block sees the same values."""
+    ``state_init(theta_tiles) -> (val, grad_tiles[, extra])`` and
+    ``move(theta, val, grad, accs, extra, gate, t) -> (theta, val, grad,
+    accs, extra)`` where theta/grad are tuples of P [8, lane_block] tiles,
+    val is a single tile (one slot per chain), ``accs`` is a tuple of
+    ``acc_tiles`` counter tiles and ``extra`` is an arbitrary pytree of
+    fixed-shape arrays carried through the loop (tuner state; ``()`` if
+    unused). ``consts`` is a tuple of [1, lane_block] float32 numpy arrays
+    shipped as broadcast VMEM inputs (Pallas kernels cannot capture traced
+    array constants); they must be block-periodic since every grid block
+    sees the same values."""
     vg = make_vg_dense(model, x, y, with_grad=with_grad)
     P = model.num_params
     if chain_block % 1024:
@@ -64,14 +66,16 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
         state_init, move = iteration_factory(vg, tile, const_vals)
 
         theta0 = tuple(theta_ref[p * 8:(p + 1) * 8, :] for p in range(P))
-        val0, grad0 = state_init(theta0)
+        init_out = state_init(theta0)
+        val0, grad0 = init_out[0], init_out[1]
+        extra0 = init_out[2] if len(init_out) > 2 else ()
         accs0 = tuple(jnp.zeros(tile, dtype=jnp.float32) for _ in range(acc_tiles))
         stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
 
         def iteration(t, carry):
-            theta, val, grad, accs = carry
+            theta, val, grad, accs, extra = carry
             gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
-            theta, val, grad, accs = move(theta, val, grad, accs, gate, t)
+            theta, val, grad, accs, extra = move(theta, val, grad, accs, extra, gate, t)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
@@ -89,10 +93,10 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
                 dma.start()
                 dma.wait()
 
-            return (theta, val, grad, accs)
+            return (theta, val, grad, accs, extra)
 
-        theta, val, grad, accs = jax.lax.fori_loop(
-            0, num_iters, iteration, (theta0, val0, grad0, accs0))
+        theta, val, grad, accs, extra = jax.lax.fori_loop(
+            0, num_iters, iteration, (theta0, val0, grad0, accs0, extra0))
         for p in range(P):
             final_ref[p * 8:(p + 1) * 8, :] = theta[p]
         for a in range(acc_tiles):
@@ -146,26 +150,69 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
     return fn
 
 
+def _tuner_init(tuner, value):
+    """In-kernel population dual-averaging carry (Hoffman-Gelman Alg 5 on
+    the block-mean acceptance; the same scheme resident_hmc runs):
+    (barh, logbare, current tuned value)."""
+    return (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(value))
+
+
+def _population_dual_average(tuner, m_const, extra, mean_rate, t, num_burnin_iters):
+    """One dual-averaging update of the tuned scalar; instantaneous value
+    during burn-in, frozen at the averaged value on the last burn-in
+    iteration, untouched after."""
+    barh, logbare, cur = extra
+    it = (t + 1).astype(jnp.float32)
+    d_w = 1.0 / (it + tuner.t0)
+    e_w = jnp.exp(-tuner.k * jnp.log(it))  # it**-k (Mosaic has no powf)
+    new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - mean_rate)
+    loge = m_const - jnp.sqrt(it) * new_barh / tuner.g
+    if tuner.eub is not None:
+        loge = jnp.minimum(loge, jnp.float32(math.log(tuner.eub)))
+    new_logbare = e_w * loge + (1.0 - e_w) * logbare
+    last_burnin = t == num_burnin_iters - 1
+    new_cur = jnp.where(last_burnin, jnp.exp(new_logbare), jnp.exp(loge))
+    tune_now = t < num_burnin_iters
+    return (jnp.where(tune_now, new_barh, barh),
+            jnp.where(tune_now, new_logbare, logbare),
+            jnp.where(tune_now, new_cur, cur))
+
+
 def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
-                           chain_block=8192, record_thin=1):
+                           chain_block=8192, record_thin=1, tuner=None):
     """Whole-loop random-walk MH, dense layout: symmetric iid-Normal
-    proposal, value-only forward (no backward pass)."""
+    proposal, value-only forward (no backward pass).
+
+    With a ``tuner`` (HMCDATuner config; pick ``d`` = target acceptance,
+    0.234 is the classic random-walk optimum), the proposal SCALE is
+    dual-averaged in-kernel on the block-mean acceptance during burn-in and
+    frozen at the averaged value after (the scheme resident_hmc uses for
+    the step size)."""
     scale = float(scale)
 
     def factory(v, tile, _consts):
-        def state_init(theta0):
-            return v(theta0), ()
+        m_const = jnp.float32(math.log(10.0 * scale))
 
-        def move(theta, val, grad, accs, gate, t):
+        def state_init(theta0):
+            return v(theta0), (), _tuner_init(tuner, scale) if tuner else ()
+
+        def move(theta, val, grad, accs, extra, gate, t):
             P = len(theta)
+            cur_scale = extra[2] if tuner else jnp.float32(scale)
             z = normal_tiles(P, tile)
-            prop = tuple(theta[p] + scale * z[p] for p in range(P))
+            prop = tuple(theta[p] + cur_scale * z[p] for p in range(P))
             v_p = v(prop)
+            log_rate = v_p - val
             u = _uniform(tile)
-            accept = jnp.log(u) < v_p - val
+            accept = jnp.log(u) < log_rate
             theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
             val = jnp.where(accept, v_p, val)
-            return theta, val, grad, (accs[0] + gate * jnp.where(accept, 1.0, 0.0),)
+            if tuner is not None:
+                rates = jnp.minimum(jnp.exp(jnp.minimum(log_rate, 0.0)), 1.0)
+                extra = _population_dual_average(
+                    tuner, m_const, extra, jnp.mean(rates), t, num_burnin_iters)
+            return (theta, val, grad,
+                    (accs[0] + gate * jnp.where(accept, 1.0, 0.0),), extra)
 
         return state_init, move
 
@@ -174,40 +221,52 @@ def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
 
 
 def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
-                             chain_block=8192, record_thin=1):
+                             chain_block=8192, record_thin=1, tuner=None):
     """Whole-loop MALA, dense layout: one fused value-and-grad per iteration
     with the full asymmetric Hastings correction (cancelled Normal constants,
-    as in resident_walk.make_resident_mala)."""
+    as in resident_walk.make_resident_mala).
+
+    With a ``tuner`` (HMCDATuner config; ``d``=0.574 is the classic MALA
+    optimum), the Langevin step is dual-averaged in-kernel on the block-mean
+    acceptance during burn-in and frozen at the averaged value after."""
     step = float(step)
-    sqrt_step = math.sqrt(step)
 
     def factory(vg, tile, _consts):
+        m_const = jnp.float32(math.log(10.0 * step))
+
         def state_init(theta0):
             val0, grad0 = vg(theta0)
-            return val0, tuple(grad0)
+            return val0, tuple(grad0), _tuner_init(tuner, step) if tuner else ()
 
-        def move(theta, val, grad, accs, gate, t):
+        def move(theta, val, grad, accs, extra, gate, t):
             P = len(theta)
+            cur = extra[2] if tuner else jnp.float32(step)
+            sqrt_cur = jnp.sqrt(cur) if tuner else jnp.float32(math.sqrt(step))
             z = normal_tiles(P, tile)
-            prop = tuple(theta[p] + (0.5 * step) * grad[p] + sqrt_step * z[p]
+            prop = tuple(theta[p] + (0.5 * cur) * grad[p] + sqrt_cur * z[p]
                          for p in range(P))
             v_p, g_p = vg(prop)
             # ||theta - (prop + 0.5*step*g_p)||^2 accumulated per tile;
             # ||prop - fwd_mean||^2 = step * sum(z^2)
-            d0 = theta[0] - (prop[0] + (0.5 * step) * g_p[0])
+            d0 = theta[0] - (prop[0] + (0.5 * cur) * g_p[0])
             rev_sq = d0 * d0
             z_sq = z[0] * z[0]
             for p in range(1, P):
-                dp = theta[p] - (prop[p] + (0.5 * step) * g_p[p])
+                dp = theta[p] - (prop[p] + (0.5 * cur) * g_p[p])
                 rev_sq = rev_sq + dp * dp
                 z_sq = z_sq + z[p] * z[p]
-            log_rate = v_p - val - (0.5 / step) * rev_sq + 0.5 * z_sq
+            log_rate = v_p - val - (0.5 / cur) * rev_sq + 0.5 * z_sq
             u = _uniform(tile)
             accept = jnp.log(u) < log_rate
             theta = tuple(jnp.where(accept, prop[p], theta[p]) for p in range(P))
             val = jnp.where(accept, v_p, val)
             grad = tuple(jnp.where(accept, g_p[p], grad[p]) for p in range(P))
-            return theta, val, grad, (accs[0] + gate * jnp.where(accept, 1.0, 0.0),)
+            if tuner is not None:
+                rates = jnp.minimum(jnp.exp(jnp.minimum(log_rate, 0.0)), 1.0)
+                extra = _population_dual_average(
+                    tuner, m_const, extra, jnp.mean(rates), t, num_burnin_iters)
+            return (theta, val, grad,
+                    (accs[0] + gate * jnp.where(accept, 1.0, 0.0),), extra)
 
         return state_init, move
 
