@@ -211,6 +211,157 @@ def make_vg_dense(model, x, y, with_grad=True):
     return vg
 
 
+def make_incremental_gibbs_dense(model, x, y):
+    """Incremental log-posterior evaluation in the dense chain-tile layout,
+    for blocked Gibbs sweeps (same contract as ops/mlp_math.py::
+    make_incremental_gibbs, reference gibbs.py:73-94 semantics): a node-block
+    proposal perturbs one unit (layer l, node j), so only that unit's
+    activation and everything downstream is recomputed from a cache.
+
+    Cache entries are [8, C] tiles keyed per (unit, data point): hidden
+    activations ``('a', l, j, d)`` plus per-point output terms — BCE log-lik
+    contributions ``('ll', j, d)`` or CE logits ``('z', j, d)``. Returns
+    ``(cache_keys, init, updates)`` with ``init(theta) -> (val, cache)`` and
+    ``updates[(l, j)](theta, cache) -> (val, new_cache)``; UNCHANGED cache
+    entries come back as the very same objects so callers can where-select
+    only what moved. Values are bit-identical to ``make_vg_dense``'s
+    ``with_grad=False`` forward (same op order)."""
+    dims, bias, loss_kind, layer_offsets = extract_arch(model)
+    x, y, loc, ivar, prior_const, temperature = prepare_dense(model, x, y)
+    n = x.shape[0]
+    num_layers = len(dims) - 1
+    k_out = dims[-1]
+    P = model.num_params
+    temp = float(temperature)
+
+    def w_idx(l, j, i):
+        w_off, _ = layer_offsets[l]
+        return w_off + j * dims[l] + i
+
+    def b_idx(l, j):
+        _, b_off = layer_offsets[l]
+        return b_off + j
+
+    cache_keys = tuple(
+        ("a", l, j, d)
+        for l in range(num_layers - 1)
+        for j in range(dims[l + 1])
+        for d in range(n)
+    ) + tuple(
+        ("ll" if loss_kind == "bce" else "z", j, d)
+        for j in range(k_out) for d in range(n)
+    )
+    key_pos = {k: i for i, k in enumerate(cache_keys)}
+
+    def unit_z(theta, cache, l, j, d):
+        acc = theta[b_idx(l, j)] if bias[l] else None
+        if l == 0:
+            for i in range(dims[0]):
+                c = float(x[d, i])
+                if c == 0.0:
+                    continue
+                term = theta[w_idx(0, j, i)]
+                if c != 1.0:
+                    term = np.float32(c) * term
+                acc = term if acc is None else acc + term
+        else:
+            for i in range(dims[l]):
+                term = cache[key_pos[("a", l - 1, i, d)]] * theta[w_idx(l, j, i)]
+                acc = term if acc is None else acc + term
+        return acc  # None only for a bias-less all-zero input row
+
+    def bce_unit_ll(z, j, d):
+        yv = float(y[d, j])
+        e = jnp.exp(-jnp.abs(z))
+        sp = jnp.maximum(z, 0.0) + jnp.log1p(e)
+        return (np.float32(yv) * z - sp) if yv != 0.0 else -sp
+
+    def ce_point_ll(zs, d):
+        zmax = zs[0]
+        for j in range(1, k_out):
+            zmax = jnp.maximum(zmax, zs[j])
+        sumexp = None
+        for j in range(k_out):
+            e = jnp.exp(zs[j] - zmax)
+            sumexp = e if sumexp is None else sumexp + e
+        lse = zmax + jnp.log(sumexp)
+        picked = None
+        for j in range(k_out):
+            yv = float(y[d, j])
+            if yv == 0.0:
+                continue
+            term = zs[j] if yv == 1.0 else np.float32(yv) * zs[j]
+            picked = term if picked is None else picked + term
+        return (picked - lse) if picked is not None else -lse
+
+    def total_val(theta, cache):
+        if loss_kind == "bce":
+            # accumulate (d outer, j inner) — the same order as
+            # make_vg_dense's forward, keeping values bit-identical
+            ll = None
+            for d in range(n):
+                for j in range(k_out):
+                    term = cache[key_pos[("ll", j, d)]]
+                    ll = term if ll is None else ll + term
+        else:
+            ll = None
+            for d in range(n):
+                term = ce_point_ll(
+                    [cache[key_pos[("z", j, d)]] for j in range(k_out)], d)
+                ll = term if ll is None else ll + term
+        val = ll
+        for p in range(P):
+            diff = theta[p] - np.float32(loc[p]) if loc[p] != 0.0 else theta[p]
+            val = val - (np.float32(0.5 * ivar[p]) * diff) * diff
+        val = val + np.float32(prior_const)
+        return val if temp == 1.0 else np.float32(temp) * val
+
+    def init(theta):
+        cache = [None] * len(cache_keys)
+        for l in range(num_layers - 1):
+            for j in range(dims[l + 1]):
+                for d in range(n):
+                    cache[key_pos[("a", l, j, d)]] = jax.nn.sigmoid(
+                        unit_z(theta, cache, l, j, d))
+        for j in range(k_out):
+            for d in range(n):
+                z = unit_z(theta, cache, num_layers - 1, j, d)
+                if loss_kind == "bce":
+                    cache[key_pos[("ll", j, d)]] = bce_unit_ll(z, j, d)
+                else:
+                    cache[key_pos[("z", j, d)]] = z
+        return total_val(theta, cache), tuple(cache)
+
+    def make_update(l, j):
+        def update(theta, cache):
+            cache = list(cache)
+            if l < num_layers - 1:
+                for d in range(n):
+                    cache[key_pos[("a", l, j, d)]] = jax.nn.sigmoid(
+                        unit_z(theta, cache, l, j, d))
+                for dl in range(l + 1, num_layers - 1):
+                    for dj in range(dims[dl + 1]):
+                        for d in range(n):
+                            cache[key_pos[("a", dl, dj, d)]] = jax.nn.sigmoid(
+                                unit_z(theta, cache, dl, dj, d))
+                out_units = range(k_out)
+            else:
+                out_units = (j,)
+            for jj in out_units:
+                for d in range(n):
+                    z = unit_z(theta, cache, num_layers - 1, jj, d)
+                    if loss_kind == "bce":
+                        cache[key_pos[("ll", jj, d)]] = bce_unit_ll(z, jj, d)
+                    else:
+                        cache[key_pos[("z", jj, d)]] = z
+            return total_val(theta, cache), tuple(cache)
+        return update
+
+    updates = {(l, j): make_update(l, j)
+               for l in range(num_layers) for j in range(dims[l + 1])}
+    return cache_keys, init, updates
+
+
 def stack_chains(theta0s):
     """[C, P] chain-major params -> [P*8, C/8] dense kernel input with chain
     id c = s*(C/8) + column (s = sublane). C must be a multiple of 8."""

@@ -220,6 +220,73 @@ def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
                                 chain_block, record_thin, factory, with_grad=False)
 
 
+def make_resident_gibbs_dense(model, x, y, scales=1.0, node_subblock_size=None,
+                              num_iters=1000, num_burnin_iters=0,
+                              chain_block=8192, record_thin=1):
+    """Whole-loop blocked Metropolis-within-Gibbs, dense layout (reference
+    gibbs.py:73-96 semantics; same sweep/accept structure as
+    resident_walk.make_resident_gibbs).
+
+    Dense wins twice here: a sub-block proposal perturbs ONLY its
+    coordinates' parameter tiles (the sublane kernel draws and masks a full
+    [P, C] normal per sub-block), and the incremental evaluation
+    (ops/mlp_dense.py::make_incremental_gibbs_dense) recomputes just the
+    touched unit plus layers strictly downstream from a VMEM tile cache —
+    bit-identical to the full forward (tests/test_mlp_dense.py). Returns
+    per-chain PER-SUB-BLOCK acceptance counts [C, num_sub_blocks]; rejected
+    coordinates are restored before the next sub-block proposal (fixing the
+    reference's rejected-coordinate leak — samplers/gibbs.py docstring)."""
+    from eeyore_tpu.ops.mlp_dense import make_incremental_gibbs_dense
+    from eeyore_tpu.samplers.gibbs import Gibbs
+
+    blocking = Gibbs(model, scales=scales, node_subblock_size=node_subblock_size)
+    B = blocking.num_sub_blocks
+    # per sub-block: (param indices, scale, (layer, node) of the unit touched)
+    sub_info = []
+    b = 0
+    for block, subs in enumerate(blocking.get_blocks()):
+        unit = model.layer_and_node_from_par_block(block)
+        for sub in subs:
+            sub_info.append((tuple(int(i) for i in sub),
+                             float(blocking._sub_blocks[b][1]), unit))
+            b += 1
+    assert len(sub_info) == B
+
+    _, inc_init, inc_updates = make_incremental_gibbs_dense(model, x, y)
+
+    def factory(_v, tile, _consts):
+        def state_init(theta0):
+            val0, cache0 = inc_init(theta0)
+            return val0, (), cache0  # the activation cache rides in `extra`
+
+        def move(theta, val, grad, accs, cache, gate, t):
+            accs = list(accs)
+            for s, (idxs, scale, unit) in enumerate(sub_info):
+                z = normal_tiles(len(idxs), tile)
+                prop = list(theta)
+                for k, p in enumerate(idxs):
+                    prop[p] = theta[p] + scale * z[k]
+                prop = tuple(prop)
+                v_p, cache_p = inc_updates[unit](prop, cache)
+                u = _uniform(tile)
+                accept = jnp.log(u) < v_p - val
+                idx_set = set(idxs)
+                theta = tuple(jnp.where(accept, prop[p], theta[p])
+                              if p in idx_set else theta[p]
+                              for p in range(len(theta)))
+                val = jnp.where(accept, v_p, val)
+                cache = tuple(old if new is old else jnp.where(accept, new, old)
+                              for old, new in zip(cache, cache_p))
+                accs[s] = accs[s] + gate * jnp.where(accept, 1.0, 0.0)
+            return theta, val, grad, tuple(accs), cache
+
+        return state_init, move
+
+    return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
+                                chain_block, record_thin, factory,
+                                with_grad=False, acc_tiles=B)
+
+
 def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
                              chain_block=8192, record_thin=1, tuner=None):
     """Whole-loop MALA, dense layout: one fused value-and-grad per iteration

@@ -110,18 +110,20 @@ def run_resident_tempering_sharded(model, x, y, key_seed, theta0s, num_rungs,
                                    step, sampler="MALA", temperatures=None,
                                    between_step=10, num_iters=1000,
                                    num_burnin_iters=0, chain_block=2048,
-                                   mesh=None, axis_name="chains"):
-    """The VMEM-resident parallel-tempering kernel (ops/resident_tempering.py)
-    sharded over the mesh's chain axis. Temperature ladders live entirely
-    inside one kernel block (swaps are lane shuffles), so sharding the lane
-    axis across devices splits WHOLE ladders — zero collectives, linear weak
-    scaling; the population scales by adding ladders, not rungs.
+                                   mesh=None, axis_name="chains", dense=False):
+    """The VMEM-resident parallel-tempering kernel (ops/resident_tempering.py,
+    or the dense chain-tile variant with ``dense=True``) sharded over the
+    mesh's chain axis. Temperature ladders live entirely inside one kernel
+    block (swaps are lane shuffles), so sharding the lane axis across devices
+    splits WHOLE ladders — zero collectives, linear weak scaling; the
+    population scales by adding ladders, not rungs.
 
     ``theta0s`` is [C, P] with C = num_ladders * num_rungs lanes,
     ladder-major. Returns (samples [kept, C, P], final [C, P], counts [C, 2]),
     sharded on the chain axis.
     """
     from eeyore_tpu.ops.resident_tempering import make_resident_tempering
+    from eeyore_tpu.ops.resident_tempering_dense import make_resident_tempering_dense
     from eeyore_tpu.parallel.mesh import chain_mesh
 
     mesh = mesh or chain_mesh(axis_name=axis_name)
@@ -132,7 +134,8 @@ def run_resident_tempering_sharded(model, x, y, key_seed, theta0s, num_rungs,
         raise ValueError(f"{C} lanes must divide over {n_shards} shards of "
                          f"chain_block {chain_block}")
 
-    fn = make_resident_tempering(
+    maker = make_resident_tempering_dense if dense else make_resident_tempering
+    fn = maker(
         model, x, y, num_rungs=num_rungs, step=step, sampler=sampler,
         temperatures=temperatures, between_step=between_step,
         num_iters=num_iters, num_burnin_iters=num_burnin_iters,

@@ -104,6 +104,62 @@ def test_rejects_large_n():
         make_vg_dense(xor_model(), x, y)
 
 
+def _perturb_block(model, tiles, block, rng):
+    """New tile list with the given node block's coordinates perturbed."""
+    out = list(tiles)
+    for p in model.par_block_indices(block):
+        out[p] = out[p] + jnp.asarray(rng.normal(size=out[p].shape) * 0.1,
+                                      jnp.float32)
+    return out
+
+
+def _check_incremental(model, x, y, C=32):
+    from eeyore_tpu.ops.mlp_dense import make_incremental_gibbs_dense
+
+    rng = np.random.default_rng(9)
+    thetas = rng.normal(size=(C, model.num_params)).astype(np.float32)
+    tiles = tiles_from(thetas)
+    value = make_vg_dense(model, x, y, with_grad=False)
+    _, init, updates = make_incremental_gibbs_dense(model, x, y)
+
+    val0, cache = init(tiles)
+    np.testing.assert_array_equal(np.asarray(val0), np.asarray(value(tiles)))
+
+    for block in range(model.num_par_blocks()):
+        l, j = model.layer_and_node_from_par_block(block)
+        prop = _perturb_block(model, tiles, block, rng)
+        v_inc, cache_p = updates[(l, j)](tuple(prop), cache)
+        # incremental value == full forward at the proposed point, exactly
+        np.testing.assert_array_equal(np.asarray(v_inc),
+                                      np.asarray(value(tuple(prop))))
+        # untouched cache entries are returned as the same objects
+        assert any(new is old for new, old in zip(cache_p, cache)) or l == 0
+
+
+def test_incremental_gibbs_dense_bce():
+    _check_incremental(xor_model(), XOR_X, XOR_Y)
+
+
+def test_incremental_gibbs_dense_ce():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 6)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]))
+    _check_incremental(model, x, y)
+
+
+def test_incremental_gibbs_dense_deep():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(5, 2)).astype(np.float32)
+    y = (rng.random((5, 1)) > 0.5).astype(np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 3, 2, 1],
+                                            activations=[mlp.sigmoid] * 3))
+    _check_incremental(model, x, y)
+
+
 def test_stack_unstack_roundtrip():
     thetas = RNG.normal(size=(48, 9)).astype(np.float32)
     dense = stack_chains(thetas)
