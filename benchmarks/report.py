@@ -330,11 +330,12 @@ def dense_section():
             md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
                       f"{r['speedup']:.2f}x | {r['moments_match']} | "
                       f"{r['acceptance_match']} |")
-    r = dr.get("tempering_validation")
-    if r and "resident_sps" in r:
-        md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
-                  f"{r['speedup']:.2f}x | {r['moments_match']} | "
-                  f"{r['acceptance_match']} |")
+    for key in ("tempering_validation", "gibbs_validation"):
+        r = dr.get(key)
+        if r and "resident_sps" in r:
+            md.append(f"| {r['config']} | {r['resident_sps']:,.0f} | "
+                      f"{r['speedup']:.2f}x | {r['moments_match']} | "
+                      f"{r['acceptance_match']} |")
     t = dr.get("walk_tuner_validation")
     if t:
         md += ["",

@@ -37,6 +37,7 @@ from eeyore_tpu.ops.resident_walk import (
     make_resident_mh,
 )
 from eeyore_tpu.ops.resident_walk_dense import (
+    make_resident_gibbs_dense,
     make_resident_mala_dense,
     make_resident_mh_dense,
 )
@@ -86,6 +87,10 @@ kernels = {
     "tempering-dense": make_resident_tempering_dense(
         model, x, y, num_rungs=8, step=0.05, sampler="MALA", between_step=10,
         num_iters=NUM_ITERS, num_burnin_iters=BURNIN, chain_block=8192),
+    "gibbs-dense": make_resident_gibbs_dense(model, x, y, scales=0.5,
+                                             num_iters=NUM_ITERS,
+                                             num_burnin_iters=BURNIN,
+                                             chain_block=8192),
 }
 
 theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
