@@ -11,7 +11,6 @@ Writes benchmarks/PARITY_RESULTS.md. Runs on CPU (reference is torch-CPU;
 ours is forced to the CPU platform for apples-to-apples statistics).
 """
 
-import json
 import sys
 import types
 

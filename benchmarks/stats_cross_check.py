@@ -12,7 +12,6 @@ discrepancy.py:3-19 — ours vectorized, theirs looped).
 CPU-only. Writes benchmarks/STATS_PARITY.md.
 """
 
-import json
 import sys
 import types
 

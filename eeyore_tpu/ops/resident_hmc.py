@@ -14,7 +14,6 @@ normals via Box-Muller. Streams differ from jax.random — statistically
 equivalent, not bit-matched (validated by posterior-moment tests).
 """
 
-import functools
 import math
 
 import jax

@@ -15,7 +15,6 @@ lane completes, so post-burn-in runs freeze (step, num_steps) to the tuned
 values (see runner.freeze_hmc) for a static trip count.
 """
 
-import math
 
 from typing import NamedTuple
 
