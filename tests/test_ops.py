@@ -149,6 +149,23 @@ class TestDenseKernelContracts:
         with pytest.raises(ValueError, match="multiple"):
             fn(0, jnp.zeros((1536, model.num_params)))
 
+    def test_walk_and_gibbs_dense_builders(self):
+        """Tuned walk kernels and the incremental Gibbs kernel must build
+        for any supported architecture without tracing device code."""
+        from eeyore_tpu.ops.resident_walk_dense import (
+            make_resident_gibbs_dense,
+            make_resident_mala_dense,
+            make_resident_mh_dense,
+        )
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        model, x, y = self._model_xy()
+        make_resident_mh_dense(model, x, y, scale=0.5, num_iters=64,
+                               tuner=HMCDATuner(d=0.234))
+        make_resident_mala_dense(model, x, y, step=0.1, num_iters=64,
+                                 tuner=HMCDATuner(d=0.574))
+        make_resident_gibbs_dense(model, x, y, scales=0.5, num_iters=64)
+
     def test_tempering_dense_validation(self):
         import pytest
 
