@@ -40,10 +40,13 @@ C, T, BURNIN = 16384, 2048, 1024
 
 def model_and_data():
     ds = XYDataset.from_eeyore("banknotes")
+    # standardized features for a well-conditioned posterior (the raw
+    # banknote measurements are ~130-215; see examples/logistic_regression)
+    x = (ds.x - ds.x.mean(0)) / ds.x.std(0)
     model = LogisticRegression(loss=loss_functions["binary_classification"],
                                hparams=lr.Hyperparameters(input_size=6),
                                dtype=DT)
-    return model, (jnp.asarray(ds.x, DT), jnp.asarray(ds.y, DT))
+    return model, (jnp.asarray(x, DT), jnp.asarray(ds.y, DT))
 
 
 def main():
@@ -54,19 +57,22 @@ def main():
     # chain_block 1024: the unrolled forward+backward holds ~12 live
     # [200, chain_block] activation arrays — 2048 lanes blows the 16MB
     # scoped-VMEM budget (measured 19.96M)
+    # chain_block 1024: the unrolled forward+backward holds ~12 live
+    # [200, chain_block] activation arrays — 2048 lanes blows the 16MB
+    # scoped-VMEM budget (measured 19.96M)
     res = run_resident(
-        make_resident_mala(model, xn, yn, step=0.002, num_iters=T,
+        make_resident_mala(model, xn, yn, step=0.01, num_iters=T,
                            num_burnin_iters=BURNIN, chain_block=1024),
         model, num_chains=C)
-    scan = run_scanned(MALA(model, step=0.002), (x, y),
+    scan = run_scanned(MALA(model, step=0.01), (x, y),
                        num_iters=T, burnin=BURNIN, num_chains=C)
     results["mala"] = compare("mala_lr_banknotes", res, scan)
 
     res = run_resident(
-        make_resident_mh(model, xn, yn, scale=0.05, num_iters=T,
+        make_resident_mh(model, xn, yn, scale=0.1, num_iters=T,
                          num_burnin_iters=BURNIN, chain_block=2048),
         model, num_chains=C)
-    scan = run_scanned(MetropolisHastings(model, scale=0.05), (x, y),
+    scan = run_scanned(MetropolisHastings(model, scale=0.1), (x, y),
                        num_iters=T, burnin=BURNIN, num_chains=C)
     results["mh"] = compare("mh_lr_banknotes", res, scan)
 

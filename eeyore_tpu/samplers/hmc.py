@@ -46,6 +46,11 @@ class HMC(TransitionKernel):
         super().__init__(model, recompute_current=recompute_current)
         self.step0 = step
         self.num_steps0 = num_steps
+        if tuner is not None and tuner.l is None and type(self) is HMC:
+            raise ValueError(
+                "HMC's dual-averaging tuner needs a target trajectory length: "
+                "pass HMCDATuner(l=...) (num_steps = round(l / step)); only "
+                "NUTS, which picks its own trajectories, can omit l")
         self.tuner = tuner
         self.max_num_steps = max_num_steps
         # Tuning runs while iteration < num_burnin_iters (reference hmc.py:158-163);
