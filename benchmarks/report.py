@@ -338,11 +338,14 @@ def dense_section():
                       f"{r['acceptance_match']} |")
     t = dr.get("walk_tuner_validation")
     if t:
-        md += ["",
-               "In-kernel population dual averaging (dense walk kernels): "
-               f"MH tuned to acceptance {t['mh_tuned_acceptance']} "
-               f"(target {t['mh_target']}), MALA to "
-               f"{t['mala_tuned_acceptance']} (target {t['mala_target']})."]
+        line = ("In-kernel population dual averaging (dense kernels): "
+                f"MH tuned to acceptance {t['mh_tuned_acceptance']} "
+                f"(target {t['mh_target']}), MALA to "
+                f"{t['mala_tuned_acceptance']} (target {t['mala_target']})")
+        if "hmc_tuned_acceptance" in t:
+            line += (f", HMC to {t['hmc_tuned_acceptance']} "
+                     f"(target {t['hmc_target']})")
+        md += ["", line + "."]
     return md
 
 

@@ -24,6 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from validate_resident import mlp_model, xor_data  # noqa: E402
 
+from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense  # noqa: E402
 from eeyore_tpu.ops.resident_walk_dense import (  # noqa: E402
     make_resident_mala_dense,
     make_resident_mh_dense,
@@ -65,6 +66,17 @@ def main():
     out["mala_target"] = 0.574
     out["mala_on_target"] = bool(abs(acc_mala - 0.574) < 0.05)
     print(json.dumps({"mala": out["mala_tuned_acceptance"]}), flush=True)
+
+    # dense HMC's in-kernel dual averaging: bad initial step, tuned
+    # step + trajectory (l-rule) must land near the 0.65 HMC target
+    acc_hmc = post_burnin_acceptance(make_resident_hmc_dense(
+        model, xn, yn, step=1.0, num_steps=1, num_iters=T,
+        num_burnin_iters=BURNIN, chain_block=8192,
+        tuner=HMCDATuner(l=0.5, d=0.65)))
+    out["hmc_tuned_acceptance"] = round(acc_hmc, 4)
+    out["hmc_target"] = 0.65
+    out["hmc_on_target"] = bool(abs(acc_hmc - 0.65) < 0.1)
+    print(json.dumps({"hmc": out["hmc_tuned_acceptance"]}), flush=True)
 
     path = Path(__file__).parent / "DENSE_RESULTS.json"
     results = json.loads(path.read_text()) if path.exists() else {}
