@@ -66,12 +66,14 @@ class SamplerHarness:
         if reset_chain:
             self.chain = ChainList(keys=self.kernel.state_keys)
 
-    def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100):
+    def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100,
+            record_thin=1):
         """One jitted two-phase scan; epochs x batches iteration accounting.
 
         With no ``theta0`` given, the initial state is drawn from the model's
         prior (the reference's ``benchmark`` init semantics,
-        serial_sampler.py:80)."""
+        serial_sampler.py:80). ``record_thin`` keeps every thin-th
+        post-burn-in state."""
         if self.theta0 is None:
             self.key, key_init = jax.random.split(self.key)
             self.theta0 = self.get_model().prior.sample(key_init)
@@ -80,7 +82,7 @@ class SamplerHarness:
         chain, state = sample_chain(
             self.kernel, self.key, self.theta0, self.schedule,
             self.counter.num_iters, self.counter.num_burnin_iters,
-            return_state=True,
+            return_state=True, record_thin=record_thin,
         )
         runtime = time.perf_counter() - start
         if verbose:
