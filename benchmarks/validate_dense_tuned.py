@@ -78,6 +78,29 @@ def main():
     out["hmc_on_target"] = bool(abs(acc_hmc - 0.65) < 0.1)
     print(json.dumps({"hmc": out["hmc_tuned_acceptance"]}), flush=True)
 
+    # per-chain dense HMC tuning: every LANE dual-averages its own step
+    # against its own Metropolis statistic (fixed trajectory length) — check
+    # the per-chain acceptance distribution is tight around the target
+    fn = jax.jit(make_resident_hmc_dense(
+        model, xn, yn, step=1.0, num_steps=10, num_iters=T,
+        num_burnin_iters=BURNIN, chain_block=8192,
+        tuner=HMCDATuner(d=0.65), tuner_mode="per_chain"))
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, 9),
+                                      dtype=jnp.float32)
+    _, final, acc = fn(7, theta0s)
+    jax.block_until_ready(final)
+    assert np.all(np.isfinite(np.asarray(final)))
+    per_chain_rates = np.asarray(acc) / (T - BURNIN)
+    out["hmc_per_chain_acceptance_mean"] = round(float(per_chain_rates.mean()), 4)
+    out["hmc_per_chain_acceptance_q05"] = round(float(np.quantile(per_chain_rates, 0.05)), 4)
+    out["hmc_per_chain_acceptance_q95"] = round(float(np.quantile(per_chain_rates, 0.95)), 4)
+    out["hmc_per_chain_on_target"] = bool(
+        abs(per_chain_rates.mean() - 0.65) < 0.1
+        and np.quantile(per_chain_rates, 0.05) > 0.4)
+    print(json.dumps({"hmc_per_chain": out["hmc_per_chain_acceptance_mean"],
+                      "q05": out["hmc_per_chain_acceptance_q05"],
+                      "q95": out["hmc_per_chain_acceptance_q95"]}), flush=True)
+
     path = Path(__file__).parent / "DENSE_RESULTS.json"
     results = json.loads(path.read_text()) if path.exists() else {}
     results["walk_tuner_validation"] = out

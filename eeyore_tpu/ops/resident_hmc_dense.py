@@ -30,7 +30,8 @@ from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
 
 def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                             num_burnin_iters=0, chain_block=8192, record_thin=1,
-                            tuner=None, max_num_steps=64, unstack_outputs=True):
+                            tuner=None, max_num_steps=64, unstack_outputs=True,
+                            tuner_mode="population"):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip in the dense
     layout. C must be a multiple of ``chain_block``; ``chain_block`` must be
@@ -40,9 +41,20 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
     chain-major order and returns the raw dense tiles instead —
     ``(samples [kept, P*8, C/8], final [P*8, C/8], acc [8, C/8])``, chain id
     c = sublane*(C/8) + column; use ops.mlp_dense.unstack_chains to recover
-    chain-major arrays host-side for the slices actually needed."""
+    chain-major arrays host-side for the slices actually needed.
+
+    ``tuner_mode``: 'population' dual-averages ONE step (and trajectory
+    length via the tuner's l-rule) on the block-mean acceptance — uniform
+    across the block, so leapfrog trip counts never diverge between lanes.
+    'per_chain' gives every chain its own dual-averaged step tile driven by
+    its own Metropolis statistic (the scanned kernel's semantics,
+    samplers/hmc.py), with the trajectory length FIXED at ``num_steps`` —
+    lane-divergent trip counts are impossible by construction."""
     vg = make_vg_dense(model, x, y)
     P = model.num_params
+    if tuner_mode not in ("population", "per_chain"):
+        raise ValueError(f"unknown tuner_mode {tuner_mode!r}")
+    per_chain = tuner is not None and tuner_mode == "per_chain"
     if chain_block % 1024:
         raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
     lane_block = chain_block // 8
@@ -61,11 +73,16 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
         acc0 = jnp.zeros(tile, dtype=jnp.float32)
         stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
 
-        step0 = jnp.float32(step)
+        if per_chain:
+            step0 = jnp.full(tile, step, dtype=jnp.float32)
+            barh0 = jnp.zeros(tile, dtype=jnp.float32)
+            logbare0 = jnp.zeros(tile, dtype=jnp.float32)
+        else:
+            step0 = jnp.float32(step)
+            barh0 = jnp.float32(0.0)
+            logbare0 = jnp.float32(0.0)
         n_steps0 = jnp.int32(num_steps)
-        tuner_m = jnp.log(10.0 * step0)
-        barh0 = jnp.float32(0.0)
-        logbare0 = jnp.float32(0.0)
+        tuner_m = jnp.float32(math.log(10.0 * step))
 
         def iteration(t, carry):
             theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare = carry
@@ -102,26 +119,32 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             acc = acc + jnp.where(t >= num_burnin_iters, 1.0, 0.0) * jnp.where(accept, 1.0, 0.0)
 
             if tuner is not None:
-                # population dual averaging on the block-mean acceptance
-                # (Hoffman-Gelman Alg 5), frozen after burn-in
+                # dual averaging (Hoffman-Gelman Alg 5), frozen after
+                # burn-in: on the block-mean acceptance with one shared step
+                # and the l-rule trajectory length ('population'), or per
+                # chain on each lane's own Metropolis statistic with the
+                # trajectory FIXED ('per_chain': no trip-count divergence)
                 it = (t + 1).astype(jnp.float32)
                 d_w = 1.0 / (it + tuner.t0)
                 e_w = jnp.exp(-tuner.k * jnp.log(it))
-                mean_rate = jnp.mean(rates)
-                new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - mean_rate)
+                rate_stat = rates if per_chain else jnp.mean(rates)
+                rate_stat = jnp.where(jnp.isnan(rate_stat), 0.0, rate_stat)
+                new_barh = (1.0 - d_w) * barh + d_w * (tuner.d - rate_stat)
                 loge = tuner_m - jnp.sqrt(it) * new_barh / tuner.g
                 if tuner.eub is not None:
                     loge = jnp.minimum(loge, jnp.float32(math.log(tuner.eub)))
                 new_logbare = e_w * loge + (1.0 - e_w) * logbare
                 last_burnin = t == num_burnin_iters - 1
                 new_step = jnp.where(last_burnin, jnp.exp(new_logbare), jnp.exp(loge))
-                new_n_steps = jnp.clip(
-                    jnp.round(tuner.l / new_step).astype(jnp.int32), 1, max_num_steps)
                 tune_now = t < num_burnin_iters
                 barh = jnp.where(tune_now, new_barh, barh)
                 logbare = jnp.where(tune_now, new_logbare, logbare)
                 cur_step = jnp.where(tune_now, new_step, cur_step)
-                cur_n_steps = jnp.where(tune_now, new_n_steps, cur_n_steps)
+                if not per_chain:
+                    new_n_steps = jnp.clip(
+                        jnp.round(tuner.l / new_step).astype(jnp.int32), 1,
+                        max_num_steps)
+                    cur_n_steps = jnp.where(tune_now, new_n_steps, cur_n_steps)
 
             rec = jnp.logical_and(t >= num_burnin_iters,
                                   (t - num_burnin_iters) % record_thin == 0)
