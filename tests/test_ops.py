@@ -149,6 +149,23 @@ class TestDenseKernelContracts:
         with pytest.raises(ValueError, match="multiple"):
             fn(0, jnp.zeros((1536, model.num_params)))
 
+    def test_hmc_dense_tuner_modes(self):
+        import pytest
+
+        from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        model, x, y = self._model_xy()
+        make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
+                                num_iters=64, tuner=HMCDATuner(l=0.5))
+        make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
+                                num_iters=64, tuner=HMCDATuner(d=0.65),
+                                tuner_mode="per_chain")
+        with pytest.raises(ValueError, match="tuner_mode"):
+            make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
+                                    num_iters=64, tuner=HMCDATuner(),
+                                    tuner_mode="per_lane")
+
     def test_walk_and_gibbs_dense_builders(self):
         """Tuned walk kernels and the incremental Gibbs kernel must build
         for any supported architecture without tracing device code."""
