@@ -179,12 +179,13 @@ def config_hmc():
     model = mlp_model([4, 3, 3], loss="multiclass_classification",
                       acts=[mlp.sigmoid, None])
     xi, yi = iris_data()
-    # chain_block 1024: the iris CE forward+backward keeps ~20 live
-    # [152, chain_block] arrays in the leapfrog body — 2048 lanes blows the
-    # 16MB scoped-VMEM budget (measured 26.9M)
+    # row-streaming vg (auto for n>=32) + chain_block 256: the streamed
+    # chunk pipeline register-allocates at 2 lane-tiles per row group —
+    # larger blocks round-trip VMEM between ops and lose ~20-35%
+    # (benchmarks/PROBE_IRIS_STREAM2.json)
     res = run_resident(make_resident_hmc(model, np.asarray(xi), np.asarray(yi),
                                          step=0.02, num_steps=8, num_iters=T,
-                                         num_burnin_iters=BURNIN, chain_block=1024),
+                                         num_burnin_iters=BURNIN, chain_block=256),
                        model, num_chains=16384)
     scan = run_scanned(HMC(model, step=0.02, num_steps=8), (xi, yi),
                        num_chains=16384)

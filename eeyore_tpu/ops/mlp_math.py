@@ -191,6 +191,142 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
     return vg
 
 
+def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
+                   prior_const, temperature, with_grad=True, split=False,
+                   chunk_rows=8):
+    """Row-streaming variant of ``make_vg`` for medium/large datasets.
+
+    Same contract and signature as ``make_vg``, different schedule: instead
+    of materializing every intermediate as a full [n_pad, C] array (for
+    iris-sized data that is ~20 live [152, C] buffers — past the Mosaic
+    VMEM budget at useful chain blocks, so the resident kernels spill),
+    the data rows are processed in ``chunk_rows``-row chunks with forward
+    AND backward fused per chunk. Cross-chunk state is only:
+
+    - a [chunk_rows, C] log-lik partial accumulator, and
+    - one [chunk_rows, C] partial-sum tile per parameter gradient,
+
+    reduced over sublanes ONCE at the end (the per-chunk reductions the
+    naive schedule would do are pure overhead — partial sums are
+    associative). Live VMEM is O(P + chunk_rows) tiles instead of
+    O(n_pad) — measured on the iris resident HMC kernel this removes the
+    spill regime entirely (benchmarks/PROBE_IRIS.json: cb512 > cb1024
+    throughput inversion).
+
+    Accumulation order differs from ``make_vg`` (chunk-major), so values
+    match to float32 round-off, not bitwise.
+    """
+    dims, bias, loss_kind, layer_offsets = extract_arch(model)
+    num_layers = len(dims) - 1
+    n_pad = x_pad.shape[0]
+    P = model.num_params
+    if n_pad % chunk_rows:
+        raise ValueError(f"n_pad {n_pad} not a multiple of chunk_rows {chunk_rows}")
+
+    def vg(theta, x, y, mask, loc, ivar):
+        C = theta.shape[1]
+
+        def w_row(l, j, i):
+            w_off, _ = layer_offsets[l]
+            return theta[w_off + j * dims[l] + i, :][None, :]
+
+        def b_row(l, j):
+            _, b_off = layer_offsets[l]
+            return theta[b_off + j, :][None, :]
+
+        k_out = dims[-1]
+        ll_part = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+        g_part = [None] * P if with_grad else None
+
+        def g_add(p, term):
+            g_part[p] = term if g_part[p] is None else g_part[p] + term
+
+        for c0 in range(0, n_pad, chunk_rows):
+            xc = x[c0:c0 + chunk_rows]
+            yc = y[c0:c0 + chunk_rows]
+            mc = mask[c0:c0 + chunk_rows]
+
+            h = [xc[:, i][:, None] for i in range(dims[0])]
+            acts = [h]
+            zs = []
+            for l in range(num_layers):
+                z_l = []
+                for j in range(dims[l + 1]):
+                    z = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                    for i in range(dims[l]):
+                        z = z + acts[l][i] * w_row(l, j, i)
+                    if bias[l]:
+                        z = z + b_row(l, j)
+                    z_l.append(z)
+                zs.append(z_l)
+                if l < num_layers - 1 or loss_kind == "bce":
+                    acts.append([jax.nn.sigmoid(z) for z in z_l])
+                else:
+                    acts.append(z_l)
+
+            if loss_kind == "bce":
+                deltas = []
+                for j in range(k_out):
+                    z = zs[-1][j]
+                    yj = yc[:, j][:, None]
+                    ll_part = ll_part + (yj * z - jax.nn.softplus(z)) * mc
+                    if with_grad:
+                        deltas.append((yj - acts[-1][j]) * mc)
+            else:
+                zmax = zs[-1][0]
+                for j in range(1, k_out):
+                    zmax = jnp.maximum(zmax, zs[-1][j])
+                sumexp = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                for j in range(k_out):
+                    sumexp = sumexp + jnp.exp(zs[-1][j] - zmax)
+                lse = zmax + jnp.log(sumexp)
+                picked = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                for j in range(k_out):
+                    picked = picked + yc[:, j][:, None] * zs[-1][j]
+                ll_part = ll_part + (picked - lse) * mc
+                if with_grad:
+                    deltas = [(yc[:, j][:, None] - jnp.exp(zs[-1][j] - lse)) * mc
+                              for j in range(k_out)]
+
+            if not with_grad:
+                continue
+
+            for l in reversed(range(num_layers)):
+                w_off, b_off = layer_offsets[l]
+                for j in range(dims[l + 1]):
+                    for i in range(dims[l]):
+                        g_add(w_off + j * dims[l] + i, deltas[j] * acts[l][i])
+                    if bias[l]:
+                        g_add(b_off + j, deltas[j])
+                if l > 0:
+                    new_deltas = []
+                    for i in range(dims[l]):
+                        s = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                        for j in range(dims[l + 1]):
+                            s = s + deltas[j] * w_row(l, j, i)
+                        a = acts[l][i]
+                        new_deltas.append(s * a * (1.0 - a))
+                    deltas = new_deltas
+
+        log_lik = jnp.sum(ll_part, axis=0, keepdims=True)
+
+        diff = theta - loc
+        log_prior = jnp.sum(-0.5 * diff * diff * ivar, axis=0,
+                            keepdims=True) + prior_const
+        val = temperature * (log_lik + log_prior)
+        if not with_grad:
+            return (log_lik, log_prior) if split else val
+
+        grad_rows = [jnp.sum(g_part[p], axis=0, keepdims=True) for p in range(P)]
+        grad = jnp.concatenate(grad_rows, axis=0)  # [P, C] d(log_lik)/d(theta)
+        if split:
+            return log_lik, log_prior, grad, -diff * ivar
+        grad = temperature * (grad - diff * ivar)
+        return val, grad
+
+    return vg
+
+
 def make_incremental_gibbs(model, n_pad, temperature, prior_const):
     """Incremental log-posterior evaluation for blocked Gibbs sweeps.
 

@@ -24,11 +24,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
-from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
+from eeyore_tpu.ops.mlp_math import make_vg, make_vg_stream, prepare_data
+
+# row count past which the row-streaming vg schedule (chunked forward+
+# backward, O(P) live tiles) replaces the materialize-everything schedule,
+# whose ~O(n_pad) live [n_pad, C] buffers spill out of VMEM on iris-sized
+# data (benchmarks/PROBE_IRIS.json)
+STREAM_MIN_ROWS = 32
 
 
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
-                      chain_block=2048, record_thin=1, tuner=None, max_num_steps=64):
+                      chain_block=2048, record_thin=1, tuner=None, max_num_steps=64,
+                      stream=None, vmem_limit_bytes=None):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
@@ -43,7 +50,10 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
     reference's tuner hand-off (hmc.py:158-163).
     """
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
-    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature)
+    if stream is None:
+        stream = x_pad.shape[0] >= STREAM_MIN_ROWS
+    vg_maker = make_vg_stream if stream else make_vg
+    vg_math = vg_maker(model, x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8  # sublane-aligned parameter rows for the HBM DMA
     n_pad, d_in = x_pad.shape
@@ -189,6 +199,7 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=vmem_limit_bytes,
             ),
         )(jnp.asarray([seed], jnp.int32), theta_t,
           jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),

@@ -30,12 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
-from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
+from eeyore_tpu.ops.mlp_math import make_vg, make_vg_stream, prepare_data
+from eeyore_tpu.ops.resident_hmc import STREAM_MIN_ROWS
 
 
 def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                    record_thin, iteration_factory, with_grad, acc_rows=1,
-                   consts=()):
+                   consts=(), stream=None):
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
 
@@ -54,8 +55,11 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     traced array constants) and handed to the factory as loaded values.
     """
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
-    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
-                      temperature, with_grad=with_grad)
+    if stream is None:
+        stream = x_pad.shape[0] >= STREAM_MIN_ROWS
+    vg_maker = make_vg_stream if stream else make_vg
+    vg_math = vg_maker(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                       temperature, with_grad=with_grad)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8
     n_pad, d_in = x_pad.shape
@@ -168,7 +172,7 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
 
 
 def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
-                       chain_block=2048, record_thin=1):
+                       chain_block=2048, record_thin=1, stream=None):
     """Whole-loop MALA: one fused value-and-grad per iteration, asymmetric
     Hastings correction, all state VMEM-resident."""
     step = float(step)
@@ -201,11 +205,12 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
         return state_init, move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
-                          chain_block, record_thin, factory, with_grad=True)
+                          chain_block, record_thin, factory, with_grad=True,
+                          stream=stream)
 
 
 def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
-                     chain_block=2048, record_thin=1):
+                     chain_block=2048, record_thin=1, stream=None):
     """Whole-loop random-walk MH: symmetric iid-Normal proposal; value-only
     math (no backward pass at all)."""
     scale = float(scale)
@@ -229,7 +234,8 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
         return state_init, move
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
-                          chain_block, record_thin, factory, with_grad=False)
+                          chain_block, record_thin, factory, with_grad=False,
+                          stream=stream)
 
 
 def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
@@ -304,6 +310,8 @@ def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
 
         return state_init, move
 
+    # stream=False: the factory evaluates through the incremental cache, not
+    # vg (which must stay bit-identical to inc_init's op order anyway)
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False,
-                          acc_rows=B, consts=(scaled_masks,))
+                          acc_rows=B, consts=(scaled_masks,), stream=False)

@@ -73,17 +73,27 @@ class SamplerHarness:
         With no ``theta0`` given, the initial state is drawn from the model's
         prior (the reference's ``benchmark`` init semantics,
         serial_sampler.py:80). ``record_thin`` keeps every thin-th
-        post-burn-in state."""
+        post-burn-in state.
+
+        ``verbose=True`` reports in-flight progress every ``verbose_step``
+        iterations (the reference's per-draw wall-clock cadence,
+        serial_sampler.py:43-50): the scan is executed in jitted SEGMENTS of
+        ``verbose_step`` iterations sharing one compiled program per segment
+        shape, with the same per-iteration key fold-in as the silent path —
+        the produced chain is identical."""
         if self.theta0 is None:
             self.key, key_init = jax.random.split(self.key)
             self.theta0 = self.get_model().prior.sample(key_init)
         self.counter.set_epoch_info(num_epochs, num_burnin_epochs)
         start = time.perf_counter()
-        chain, state = sample_chain(
-            self.kernel, self.key, self.theta0, self.schedule,
-            self.counter.num_iters, self.counter.num_burnin_iters,
-            return_state=True, record_thin=record_thin,
-        )
+        if verbose:
+            chain, state = self._run_segmented(verbose_step, record_thin)
+        else:
+            chain, state = sample_chain(
+                self.kernel, self.key, self.theta0, self.schedule,
+                self.counter.num_iters, self.counter.num_burnin_iters,
+                return_state=True, record_thin=record_thin,
+            )
         runtime = time.perf_counter() - start
         if verbose:
             print(f"{self.counter.num_iters} iterations "
@@ -94,6 +104,73 @@ class SamplerHarness:
         self.last_runtime = runtime
         return chain
 
+    def _run_segmented(self, verbose_step, record_thin):
+        """Verbose runner: same math as ``sample_chain`` (identical key
+        discipline — fold_in on the GLOBAL iteration index), executed in
+        verbose_step-sized jitted segments with per-segment wall-clock
+        prints, mirroring reference serial_sampler.py:41-50."""
+        from eeyore_tpu.samplers.runner import _check_thin, _phase_scan
+
+        kernel, schedule = self.kernel, self.schedule
+        num_iters = self.counter.num_iters
+        num_burnin = self.counter.num_burnin_iters
+        _check_thin(num_iters, num_burnin, record_thin)
+        kernel.recompute_current = schedule.num_batches != 1
+        if hasattr(kernel, "num_burnin_iters"):
+            kernel.num_burnin_iters = num_burnin
+        record_keys = tuple(kernel.state_keys)
+
+        init_key, chain_key = jax.random.split(self.key)
+        kernel.init_schedule = schedule
+        xb, yb = schedule.batch(0)
+        state = kernel.init(jnp.asarray(self.theta0), xb, yb, key=init_key)
+
+        seg_cache = {}
+
+        def run_segment(state, start, length, record):
+            sig = (length, record)
+            if sig not in seg_cache:
+                def f(key, st, start_idx):
+                    return _phase_scan(
+                        kernel, key, st, schedule, start_idx, length,
+                        record_keys if record else None,
+                        thin=record_thin if record else 1)
+                seg_cache[sig] = jax.jit(f)
+            return seg_cache[sig](chain_key, state, jnp.asarray(start))
+
+        def report(done, seg_len, dt):
+            epoch = (done - 1) // self.counter.num_batches + 1
+            print(f"Iteration {done}/{num_iters}, epoch {epoch}/"
+                  f"{self.counter.num_epochs}: last {seg_len} iterations "
+                  f"in {timedelta(seconds=dt)}")
+
+        # burn-in phase in plain segments
+        pos = 0
+        while pos < num_burnin:
+            seg = min(verbose_step, num_burnin - pos)
+            t0 = time.perf_counter()
+            state, _ = run_segment(state, pos, seg, record=False)
+            jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+            report(pos + seg, seg, time.perf_counter() - t0)
+            pos += seg
+
+        # sampling phase: segment lengths stay multiples of record_thin so
+        # thin blocks never straddle a segment boundary
+        seg_unit = max(record_thin, verbose_step - verbose_step % record_thin)
+        recorded = []
+        while pos < num_iters:
+            seg = min(seg_unit, num_iters - pos)
+            t0 = time.perf_counter()
+            state, rec = run_segment(state, pos, seg, record=True)
+            jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+            report(pos + seg, seg, time.perf_counter() - t0)
+            recorded.append(rec)
+            pos += seg
+
+        stacked = {k: np.concatenate([np.asarray(r[k]) for r in recorded])
+                   for k in record_keys}
+        return ChainList.from_arrays(stacked), state
+
     def to_chainfile(self, path=None, mode="a"):
         self.chain.to_chainfile(path=path, mode=mode)
 
@@ -101,12 +178,20 @@ class SamplerHarness:
 
     def benchmark(self, num_chains, num_epochs, num_burnin_epochs, path,
                   init=None, check_conditions=None, verbose=False,
-                  batch_chains=None, max_attempts=10):
+                  batch_chains=None, max_attempts=None):
         """Simulate until ``num_chains`` chains pass ``check_conditions``.
 
         Returns the list of accepted ChainLists. Filesystem layout matches
         the reference: run<i>/{sample.csv,...,runtime.txt}, errors/,
         run_counts.txt.
+
+        Retry semantics mirror the reference (serial_sampler.py:72: a bare
+        ``while`` until the quota is met): ``max_attempts=None`` retries
+        forever; pass an int to cap batches (e.g. in tests). An explicit
+        ``init`` list is consumed the way the reference indexes ``init[i]``
+        by success count: each batch starts at the current success index, so
+        failed inits are retried and later entries are reached once earlier
+        chains succeed; entries past the end fall back to prior draws.
         """
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
@@ -118,14 +203,18 @@ class SamplerHarness:
         key = self.key
         attempts = 0
 
-        while succeeded < num_chains and attempts < max_attempts:
+        while succeeded < num_chains and (max_attempts is None
+                                          or attempts < max_attempts):
             attempts += 1
             key, key_init, key_run = jax.random.split(key, 3)
 
+            init_keys = jax.random.split(key_init, batch_chains)
             if init is not None:
-                theta0s = jnp.stack([jnp.asarray(t) for t in init])[:batch_chains]
+                theta0s = jnp.stack([
+                    jnp.asarray(init[succeeded + c]) if succeeded + c < len(init)
+                    else self.get_model().prior.sample(init_keys[c])
+                    for c in range(batch_chains)])
             else:
-                init_keys = jax.random.split(key_init, batch_chains)
                 theta0s = jnp.stack([self.get_model().prior.sample(k) for k in init_keys])
 
             start = time.perf_counter()

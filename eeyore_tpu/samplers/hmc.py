@@ -107,7 +107,13 @@ class HMC(TransitionKernel):
             if self.tuner.e0 is not None:
                 step = self.tuner.e0
             elif key is not None:
-                step = self.find_initial_step(key, theta, x, y)
+                # minibatch runs cycle data batches while doubling, like the
+                # reference's init_step (hmc.py:62-66); the runners stash the
+                # schedule on the kernel before tracing
+                sched = getattr(self, "init_schedule", None)
+                if sched is not None and sched.num_batches == 1:
+                    sched = None
+                step = self.find_initial_step(key, theta, x, y, schedule=sched)
                 if self.tuner.eub is not None:
                     step = jnp.minimum(step, self.tuner.eub)
             tuner_state = self.tuner.init(step, dtype=dtype)
@@ -127,23 +133,35 @@ class HMC(TransitionKernel):
             tuner=tuner_state,
         )
 
-    def find_initial_step(self, key, theta, x, y, max_doublings=100):
+    def find_initial_step(self, key, theta, x, y, max_doublings=100,
+                          schedule=None):
         """NUTS Algorithm-4 heuristic (reference hmc.py:38-77): from step=1,
         repeatedly scale by 2^a (a = +-1 fixed by the first acceptance ratio)
-        until the one-step acceptance ratio crosses 1/2."""
+        until the one-step acceptance ratio crosses 1/2.
+
+        With a minibatch ``schedule``, each doubling advances to the next
+        data batch and re-evaluates BOTH the current Hamiltonian and the
+        one-step proposal on it — the reference cycles its dataloader this
+        way per doubling (hmc.py:62-72). Full-batch (schedule=None) keeps
+        the single (x, y) evaluation."""
         theta = jnp.asarray(theta)
         dtype = theta.dtype
         momentum0 = jax.random.normal(key, theta.shape, dtype=dtype)
-        target0, grad0 = self.upto_grad_log_target(theta, x, y)
-        h0 = self.hamiltonian(-target0, momentum0)
 
-        def ratio_for(step):
-            pos, mom, tgt, _ = self.leapfrog(theta, momentum0, grad0, step, 1, x, y)
+        def ratio_for(step, batch_idx):
+            if schedule is None:
+                xb, yb = x, y
+            else:
+                xb, yb = schedule.batch(batch_idx)
+            target0, grad0 = self.upto_grad_log_target(theta, xb, yb)
+            h0 = self.hamiltonian(-target0, momentum0)
+            pos, mom, tgt, _ = self.leapfrog(theta, momentum0, grad0, step, 1, xb, yb)
             h1 = self.hamiltonian(-tgt, mom)
             return jnp.exp(h0 - h1)
 
+        num_batches = 1 if schedule is None else schedule.num_batches
         step = jnp.asarray(1.0, dtype=dtype)
-        ratio = ratio_for(step)
+        ratio = ratio_for(step, jnp.zeros((), jnp.int32))
         a = jnp.where(ratio > 0.5, 1.0, -1.0).astype(dtype)
 
         def cond(carry):
@@ -153,7 +171,7 @@ class HMC(TransitionKernel):
         def body(carry):
             step, _, it = carry
             step = step * 2.0**a
-            return (step, ratio_for(step), it + 1)
+            return (step, ratio_for(step, (it + 1) % num_batches), it + 1)
 
         step, _, _ = jax.lax.while_loop(cond, body, (step, ratio, jnp.zeros((), jnp.int32)))
         return step

@@ -37,7 +37,10 @@ def _phase_scan(kernel, key, state, schedule, start, length, record_keys, thin=1
         def body(state, i):
             return step_at(state, i, record_keys is not None)
 
-        return jax.lax.scan(body, state, jnp.arange(start, start + length))
+        # start + arange(length) (not arange(start, ...)) so ``start`` may be
+        # a traced scalar — the harness's verbose segmented runner reuses one
+        # compiled segment across all start offsets
+        return jax.lax.scan(body, state, start + jnp.arange(length))
 
     def thin_block(state, j):
         base = start + j * thin
@@ -54,6 +57,9 @@ def _phase_scan(kernel, key, state, schedule, start, length, record_keys, thin=1
 
 def run_fn(kernel, schedule, num_iters, num_burnin_iters, record_keys, record_thin=1):
     """Build the pure (key, theta0) -> (final_state, recorded) function."""
+    # kernels whose init needs more than batch 0 (HMC's init_step doubling
+    # heuristic cycles data batches, reference hmc.py:62-66) read this
+    kernel.init_schedule = schedule
 
     def run(key, theta0):
         init_key, chain_key = jax.random.split(key)

@@ -254,3 +254,73 @@ def test_split_vg_matches_combined():
         t, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))(theta.T)
     np.testing.assert_allclose(np.asarray((lp + beta * ll)[0]), np.asarray(want),
                                rtol=2e-5, atol=2e-4)
+
+
+def check_stream(model, x, y, C=32, with_grad=True, split=False):
+    from eeyore_tpu.ops.mlp_math import make_vg_stream
+
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    args = lambda: (jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+                    jnp.asarray(loc), jnp.asarray(ivar))
+    base = make_vg(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                   with_grad=with_grad, split=split)
+    strm = make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                          with_grad=with_grad, split=split)
+    thetas = RNG.normal(size=(C, model.num_params)).astype(np.float32)
+    out_b = base(jnp.asarray(thetas.T), *args())
+    out_s = strm(jnp.asarray(thetas.T), *args())
+    if not isinstance(out_b, tuple):
+        out_b, out_s = (out_b,), (out_s,)
+    for b, s in zip(out_b, out_s):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+
+def test_stream_matches_vg_ce_iris_shape():
+    """The row-streaming schedule (chunked forward+backward, partial-sum
+    accumulators) must agree with the materialize-everything schedule on an
+    iris-shaped CE problem — value, gradient, value-only and split forms."""
+    x = RNG.normal(size=(150, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 150)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    check_stream(model, x, y)
+    check_stream(model, x, y, with_grad=False)
+    check_stream(model, x, y, split=True)
+    check_stream(model, x, y, with_grad=False, split=True)
+
+
+def test_stream_matches_vg_bce_deep():
+    """BCE + a deeper MLP with a row count that is not a chunk multiple of
+    the raw data (padding rows must stay masked out mid-stream)."""
+    x = RNG.normal(size=(37, 2)).astype(np.float32)
+    y = (RNG.random((37, 1)) > 0.5).astype(np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 3, 2, 1]), dtype=jnp.float32)
+    check_stream(model, x, y)
+    check_stream(model, x, y, with_grad=False)
+
+
+def test_stream_matches_value_and_grad():
+    """End-to-end oracle: streaming vg against jax.value_and_grad of the
+    model log-target (same oracle as the base schedule's check())."""
+    x = RNG.normal(size=(64, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 64)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    from eeyore_tpu.ops.mlp_math import make_vg_stream
+
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    vg = make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const, temp)
+    thetas = RNG.normal(size=(32, model.num_params)).astype(np.float32)
+    vals, grads = vg(jnp.asarray(thetas.T), jnp.asarray(x_pad), jnp.asarray(y_pad),
+                     jnp.asarray(mask), jnp.asarray(loc), jnp.asarray(ivar))
+    ref_v, ref_g = jax.vmap(
+        lambda t: jax.value_and_grad(model.log_target)(
+            t, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+    )(jnp.asarray(thetas))
+    np.testing.assert_allclose(np.asarray(vals[0]), np.asarray(ref_v), rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(grads.T), np.asarray(ref_g), rtol=2e-5, atol=2e-4)
