@@ -193,7 +193,7 @@ def make_vg(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var, prior_const
 
 def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
                    prior_const, temperature, with_grad=True, split=False,
-                   chunk_rows=8):
+                   chunk_rows=8, mxu_layer0=False, matmul_precision="highest"):
     """Row-streaming variant of ``make_vg`` for medium/large datasets.
 
     Same contract and signature as ``make_vg``, different schedule: instead
@@ -215,6 +215,25 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
 
     Accumulation order differs from ``make_vg`` (chunk-major), so values
     match to float32 round-off, not bitwise.
+
+    ``mxu_layer0=True`` moves layer 0 — the only layer whose contractions
+    share an operand (the data matrix) across chains — onto the MXU, via
+    per-node lane-selector matrices (Mosaic cannot concatenate sublane-
+    misaligned theta rows into a weight panel, so instead the data columns
+    are placed AT the flat parameter indices):
+
+    - ``xmat_j [n_pad, P]`` holds data column i at lane ``w(0,j,i)`` (and
+      1.0 at lane ``b(0,j)``) — built once per kernel invocation from iota
+      masks (``vg.make_premul``), loop-invariant across leapfrog steps;
+    - forward: ``Z0_j = xmat_j @ theta`` (one dot per node, k contracting
+      over all P rows — the MXU pads k to 128 either way);
+    - backward: hidden deltas are staged per chunk and contracted as
+      ``G0 = sum_j xmat_j^T @ D_j`` — a [P, C] result whose nonzero rows
+      are exactly the layer-0 parameters, added to the gradient directly.
+
+    ``matmul_precision``: 'highest' (full f32 passes, default) or
+    'default' (single bf16 pass — fast but rounds inputs to 8 mantissa
+    bits; validate acceptance before using).
     """
     dims, bias, loss_kind, layer_offsets = extract_arch(model)
     num_layers = len(dims) - 1
@@ -222,8 +241,27 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
     P = model.num_params
     if n_pad % chunk_rows:
         raise ValueError(f"n_pad {n_pad} not a multiple of chunk_rows {chunk_rows}")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[matmul_precision]
+    if mxu_layer0:
+        k1 = dims[1]
+        w_off0, b_off0 = layer_offsets[0]
 
-    def vg(theta, x, y, mask, loc, ivar):
+    def make_premul(x):
+        """The k1 lane-selector matrices for the layer-0 MXU path; build
+        once per kernel call (they depend only on the data)."""
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n_pad, P), 1)
+        xmats = []
+        for j in range(k1):
+            m = jnp.zeros((n_pad, P), jnp.float32)
+            for i in range(dims[0]):
+                m = jnp.where(lanes == w_off0 + j * dims[0] + i, x[:, i:i + 1], m)
+            if bias[0]:
+                m = jnp.where(lanes == b_off0 + j, 1.0, m)
+            xmats.append(m)
+        return tuple(xmats)
+
+    def vg(theta, x, y, mask, loc, ivar, premul=None):
         C = theta.shape[1]
 
         def w_row(l, j, i):
@@ -241,23 +279,43 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
         def g_add(p, term):
             g_part[p] = term if g_part[p] is None else g_part[p] + term
 
+        if mxu_layer0:
+            xmats = premul if premul is not None else make_premul(x)
+            z0_cols = [jax.lax.dot_general(
+                xm, theta, (((1,), (0,)), ((), ())), precision=prec)
+                for xm in xmats]                          # k1 x [n_pad, C]
+            delta0_store = [[] for _ in range(k1)]
+
+        # static per-chunk mask knowledge: chunks fully inside the real data
+        # need no mask multiplications at all (row_mask is a BUILD-time numpy
+        # array; only the tail chunk of a padded dataset is partial)
+        np_mask = np.asarray(row_mask).reshape(-1)
+
         for c0 in range(0, n_pad, chunk_rows):
             xc = x[c0:c0 + chunk_rows]
             yc = y[c0:c0 + chunk_rows]
-            mc = mask[c0:c0 + chunk_rows]
+            full = bool(np.all(np_mask[c0:c0 + chunk_rows] == 1.0))
+            mc = None if full else mask[c0:c0 + chunk_rows]
+
+            def masked(v):
+                return v if mc is None else v * mc
 
             h = [xc[:, i][:, None] for i in range(dims[0])]
             acts = [h]
             zs = []
             for l in range(num_layers):
-                z_l = []
-                for j in range(dims[l + 1]):
-                    z = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
-                    for i in range(dims[l]):
-                        z = z + acts[l][i] * w_row(l, j, i)
-                    if bias[l]:
-                        z = z + b_row(l, j)
-                    z_l.append(z)
+                if l == 0 and mxu_layer0:
+                    z_l = [z0_cols[j][c0:c0 + chunk_rows] for j in range(dims[1])]
+                else:
+                    z_l = []
+                    for j in range(dims[l + 1]):
+                        z = None
+                        for i in range(dims[l]):
+                            term = acts[l][i] * w_row(l, j, i)
+                            z = term if z is None else z + term
+                        if bias[l]:
+                            z = b_row(l, j) if z is None else z + b_row(l, j)
+                        z_l.append(jnp.broadcast_to(z, (chunk_rows, C)))
                 zs.append(z_l)
                 if l < num_layers - 1 or loss_kind == "bce":
                     acts.append([jax.nn.sigmoid(z) for z in z_l])
@@ -269,29 +327,41 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
                 for j in range(k_out):
                     z = zs[-1][j]
                     yj = yc[:, j][:, None]
-                    ll_part = ll_part + (yj * z - jax.nn.softplus(z)) * mc
+                    ll_part = ll_part + masked(yj * z - jax.nn.softplus(z))
                     if with_grad:
-                        deltas.append((yj - acts[-1][j]) * mc)
+                        deltas.append(masked(yj - acts[-1][j]))
             else:
                 zmax = zs[-1][0]
                 for j in range(1, k_out):
                     zmax = jnp.maximum(zmax, zs[-1][j])
-                sumexp = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
-                for j in range(k_out):
-                    sumexp = sumexp + jnp.exp(zs[-1][j] - zmax)
+                exps = [jnp.exp(z - zmax) for z in zs[-1]]
+                sumexp = exps[0]
+                for e in exps[1:]:
+                    sumexp = sumexp + e
                 lse = zmax + jnp.log(sumexp)
-                picked = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                picked = None
                 for j in range(k_out):
-                    picked = picked + yc[:, j][:, None] * zs[-1][j]
-                ll_part = ll_part + (picked - lse) * mc
+                    term = yc[:, j][:, None] * zs[-1][j]
+                    picked = term if picked is None else picked + term
+                ll_part = ll_part + masked(picked - lse)
                 if with_grad:
-                    deltas = [(yc[:, j][:, None] - jnp.exp(zs[-1][j] - lse)) * mc
+                    # softmax_j = exps[j] / sumexp reuses the loss's exps —
+                    # one reciprocal instead of k_out fresh exp calls
+                    inv = 1.0 / sumexp
+                    deltas = [masked(yc[:, j][:, None] - exps[j] * inv)
                               for j in range(k_out)]
 
             if not with_grad:
                 continue
 
             for l in reversed(range(num_layers)):
+                if l == 0 and mxu_layer0:
+                    # stage this chunk's layer-0 deltas; ONE matmul against
+                    # the selector panels after the loop replaces all
+                    # per-param work
+                    for j in range(dims[1]):
+                        delta0_store[j].append(deltas[j])
+                    break
                 w_off, b_off = layer_offsets[l]
                 for j in range(dims[l + 1]):
                     for i in range(dims[l]):
@@ -301,11 +371,12 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
                 if l > 0:
                     new_deltas = []
                     for i in range(dims[l]):
-                        s = jnp.zeros((chunk_rows, C), dtype=jnp.float32)
+                        s = None
                         for j in range(dims[l + 1]):
-                            s = s + deltas[j] * w_row(l, j, i)
+                            term = deltas[j] * w_row(l, j, i)
+                            s = term if s is None else s + term
                         a = acts[l][i]
-                        new_deltas.append(s * a * (1.0 - a))
+                        new_deltas.append(s * (a * (1.0 - a)))
                     deltas = new_deltas
 
         log_lik = jnp.sum(ll_part, axis=0, keepdims=True)
@@ -317,13 +388,33 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
         if not with_grad:
             return (log_lik, log_prior) if split else val
 
-        grad_rows = [jnp.sum(g_part[p], axis=0, keepdims=True) for p in range(P)]
+        grad_rows = [None if g is None else jnp.sum(g, axis=0, keepdims=True)
+                     for g in g_part]
+        if mxu_layer0:
+            # G0[p, c] = sum_j sum_d xmat_j[d, p] D_j[d, c]: nonzero exactly
+            # at the layer-0 parameter rows; everything else contributes 0,
+            # so it adds straight into the stacked gradient
+            g0 = None
+            zero_row = jnp.zeros((1, C), dtype=jnp.float32)
+            for j in range(k1):
+                dj = jnp.concatenate(delta0_store[j], axis=0)  # [n_pad, C]
+                term = jax.lax.dot_general(
+                    xmats[j], dj, (((0,), (0,)), ((), ())), precision=prec)
+                g0 = term if g0 is None else g0 + term
+            for j in range(k1):
+                for i in range(dims[0]):
+                    grad_rows[w_off0 + j * dims[0] + i] = zero_row
+                if bias[0]:
+                    grad_rows[b_off0 + j] = zero_row
         grad = jnp.concatenate(grad_rows, axis=0)  # [P, C] d(log_lik)/d(theta)
+        if mxu_layer0:
+            grad = grad + g0
         if split:
             return log_lik, log_prior, grad, -diff * ivar
         grad = temperature * (grad - diff * ivar)
         return val, grad
 
+    vg.make_premul = make_premul if mxu_layer0 else None
     return vg
 
 

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from eeyore_tpu.ops.kernel_prng import normal as _normal, uniform as _uniform
-from eeyore_tpu.ops.mlp_math import make_vg, make_vg_stream, prepare_data
+from eeyore_tpu.ops.mlp_math import extract_arch, make_vg, make_vg_stream, prepare_data
 
 # row count past which the row-streaming vg schedule (chunked forward+
 # backward, O(P) live tiles) replaces the materialize-everything schedule,
@@ -35,7 +35,8 @@ STREAM_MIN_ROWS = 32
 
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
                       chain_block=2048, record_thin=1, tuner=None, max_num_steps=64,
-                      stream=None, vmem_limit_bytes=None):
+                      stream=None, vmem_limit_bytes=None, mxu_layer0=None,
+                      matmul_precision="highest"):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
@@ -52,8 +53,19 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     if stream is None:
         stream = x_pad.shape[0] >= STREAM_MIN_ROWS
-    vg_maker = make_vg_stream if stream else make_vg
-    vg_math = vg_maker(model, x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature)
+    if mxu_layer0 is None:
+        # layer-0 MXU contracts over all P theta rows padded to the MXU's
+        # 128-deep K: for narrow fan-in (iris d0=4) the padding waste makes
+        # it SLOWER than the VPU schedule (15.7M vs 21.6M samples/s,
+        # benchmarks/PROBE_IRIS_MXU.json) — enable only for wide inputs
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
+    if stream:
+        vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
+                                 prior_const, temperature, mxu_layer0=mxu_layer0,
+                                 matmul_precision=matmul_precision)
+    else:
+        vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                          temperature)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8  # sublane-aligned parameter rows for the HBM DMA
     n_pad, d_in = x_pad.shape
@@ -73,7 +85,14 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         locv = loc_ref[:, :]
         ivarv = ivar_ref[:, :]
 
+        # layer-0 MXU selectors depend only on the data: build once, outside
+        # the iteration loop
+        premul = (vg_math.make_premul(xv)
+                  if getattr(vg_math, "make_premul", None) else None)
+
         def vg(theta):
+            if premul is not None:
+                return vg_math(theta, xv, yv, maskv, locv, ivarv, premul=premul)
             return vg_math(theta, xv, yv, maskv, locv, ivarv)
 
         theta0 = theta_ref[:, :]

@@ -36,7 +36,7 @@ from eeyore_tpu.ops.resident_hmc import STREAM_MIN_ROWS
 
 def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                    record_thin, iteration_factory, with_grad, acc_rows=1,
-                   consts=(), stream=None):
+                   consts=(), stream=None, mxu_layer0=None):
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
 
@@ -57,9 +57,18 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     if stream is None:
         stream = x_pad.shape[0] >= STREAM_MIN_ROWS
-    vg_maker = make_vg_stream if stream else make_vg
-    vg_math = vg_maker(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
-                       temperature, with_grad=with_grad)
+    if mxu_layer0 is None:
+        from eeyore_tpu.ops.mlp_math import extract_arch
+
+        # see resident_hmc: MXU K-padding loses below ~16 input features
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
+    if stream:
+        vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
+                                 prior_const, temperature, with_grad=with_grad,
+                                 mxu_layer0=mxu_layer0)
+    else:
+        vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                          temperature, with_grad=with_grad)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8
     n_pad, d_in = x_pad.shape
@@ -81,7 +90,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         ivarv = ivar_ref[:, :]
         const_vals = tuple(r[:, :] for r in const_refs)
 
+        premul = (vg_math.make_premul(xv)
+                  if getattr(vg_math, "make_premul", None) else None)
+
         def vg(theta):
+            if premul is not None:
+                return vg_math(theta, xv, yv, maskv, locv, ivarv, premul=premul)
             return vg_math(theta, xv, yv, maskv, locv, ivarv)
 
         state_init, move = iteration_factory(vg, const_vals,

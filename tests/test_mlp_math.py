@@ -324,3 +324,56 @@ def test_stream_matches_value_and_grad():
     )(jnp.asarray(thetas))
     np.testing.assert_allclose(np.asarray(vals[0]), np.asarray(ref_v), rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(np.asarray(grads.T), np.asarray(ref_g), rtol=2e-5, atol=2e-4)
+
+
+def check_stream_mxu(model, x, y, C=32, with_grad=True):
+    from eeyore_tpu.ops.mlp_math import make_vg_stream
+
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    args = (jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+            jnp.asarray(loc), jnp.asarray(ivar))
+    base = make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                          with_grad=with_grad)
+    mxu = make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                         with_grad=with_grad, mxu_layer0=True)
+    thetas = RNG.normal(size=(C, model.num_params)).astype(np.float32)
+    out_b = base(jnp.asarray(thetas.T), *args)
+    out_m = mxu(jnp.asarray(thetas.T), *args)
+    if not isinstance(out_b, tuple):
+        out_b, out_m = (out_b,), (out_m,)
+    for b, m in zip(out_b, out_m):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+
+def test_stream_mxu_layer0_matches():
+    """The MXU layer-0 panels (Z0 = X_aug @ W0_aug forward, G0 = X_aug^T @ D
+    backward) must reproduce the per-unit VPU schedule — CE iris shape,
+    BCE deep net, a bias-less first layer, and a single-layer model
+    (logistic regression: layer 0 IS the output layer)."""
+    x = RNG.normal(size=(150, 4)).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[RNG.integers(0, 3, 150)]
+    model = MLP(loss=loss_functions["multiclass_classification"],
+                hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                            activations=[mlp.sigmoid, None]),
+                dtype=jnp.float32)
+    check_stream_mxu(model, x, y)
+    check_stream_mxu(model, x, y, with_grad=False)
+
+    xb = RNG.normal(size=(40, 3)).astype(np.float32)
+    yb = (RNG.random((40, 1)) > 0.5).astype(np.float32)
+    deep = MLP(loss=loss_functions["binary_classification"],
+               hparams=mlp.Hyperparameters(dims=[3, 4, 2, 1]), dtype=jnp.float32)
+    check_stream_mxu(deep, xb, yb)
+
+    nobias = MLP(loss=loss_functions["binary_classification"],
+                 hparams=mlp.Hyperparameters(dims=[3, 3, 1], bias=[False, True]),
+                 dtype=jnp.float32)
+    check_stream_mxu(nobias, xb, yb)
+
+    from eeyore_tpu.models import LogisticRegression
+    from eeyore_tpu.models import logistic_regression as lr_mod
+
+    lr = LogisticRegression(
+        loss=loss_functions["binary_classification"],
+        hparams=lr_mod.Hyperparameters(input_size=3), dtype=jnp.float32)
+    check_stream_mxu(lr, xb, yb)
