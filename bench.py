@@ -65,13 +65,18 @@ def bench_resident(num_chains, num_iters, repeats=3):
     data-on-sublanes kernel at this shape, benchmarks/DENSE_RESULTS.json)."""
     import numpy as np
 
+    from eeyore_tpu.ops.mlp_dense import stack_chains
     from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
 
     model, kernel, schedule = build()
     x, y = np.asarray(schedule.x[0]), np.asarray(schedule.y[0])
     # raw dense outputs: skip the device-side transpose back to chain-major
     # order (~10% of wall at 256 iters); correctness checks below read the
-    # dense tiles directly
+    # dense tiles directly. Dispatch variants MEASURED at this shape and
+    # rejected: donating the previous samples buffer via pallas
+    # input_output_aliases costs ~20% (XLA materializes the alias-as-initial-
+    # contents copy of the 1.2GB output), and pre-stacking theta outside the
+    # loop is neutral — the plain dispatch below is the fastest observed.
     fn = jax.jit(make_resident_hmc_dense(model, x, y, step=0.05, num_steps=10,
                                          num_iters=num_iters, num_burnin_iters=0,
                                          chain_block=8192, unstack_outputs=False))

@@ -91,6 +91,36 @@ def main():
     results["nuts_mlp221_xor"] = out
     print(json.dumps({"nuts_mlp221_xor": out}), flush=True)
 
+    # fixed-budget NUTS (static control flow: no lockstep while_loop
+    # penalty — every transition costs exactly 2^max_depth - 1 leapfrogs).
+    # max_depth=3 gives a 7-leapfrog budget, matching the adaptive run's
+    # ~5.8 mean; same tuner target.
+    global C
+    for chains, tag in ((C, "nuts_fixed_d3_mlp221_xor"),
+                        (32768, "nuts_fixed_d3_32k")):
+        saved = C
+        C = chains
+        try:
+            nuts_f = NUTS(model, step=0.1, max_depth=3, fixed_budget=True,
+                          tuner=HMCDATuner(d=0.8), num_burnin_iters=BURNIN)
+            fout, frec, fstate = run(nuts_f, schedule,
+                                     ("sample", "accept_stat", "num_leapfrogs",
+                                      "divergent"))
+            fgrads = np.asarray(frec["num_leapfrogs"], dtype=np.float64)
+            fout["mean_leapfrogs_per_transition"] = round(float(fgrads.mean()), 2)
+            fout["budget_leapfrogs"] = 7
+            fout["accept_stat"] = round(float(np.asarray(frec["accept_stat"]).mean()), 4)
+            fout["divergence_rate"] = round(float(np.asarray(frec["divergent"]).mean()), 5)
+            fout["tuned_step_mean"] = round(float(np.asarray(fstate.step).mean()), 4)
+            fout["speedup_vs_adaptive_sps"] = round(
+                fout["samples_per_s"] / out["samples_per_s"], 1)
+            fout["ess_per_sample_ratio_vs_adaptive"] = round(
+                (fout["mean_chain_ess"]) / out["mean_chain_ess"], 3)
+            results[tag] = fout
+            print(json.dumps({tag: fout}), flush=True)
+        finally:
+            C = saved
+
     # HMC with a comparable gradient budget per transition
     budget = max(1, int(round(out["mean_leapfrogs_per_transition"])))
     hmc = HMC(model, step=0.05, num_steps=budget)

@@ -108,6 +108,42 @@ def main():
                       "q05": out["hmc_per_chain_acceptance_q05"],
                       "q95": out["hmc_per_chain_acceptance_q95"]}), flush=True)
 
+    # per-chain tuning WITH the l-rule: every lane gets its own trajectory
+    # length clip(round(l/step)) and the leapfrog runs to the block max with
+    # per-lane masking — acceptance must stay tight around target AND the
+    # moments must match the population-tuned kernel
+    fn_l = jax.jit(make_resident_hmc_dense(
+        model, xn, yn, step=1.0, num_steps=1, num_iters=T,
+        num_burnin_iters=BURNIN, chain_block=8192,
+        tuner=HMCDATuner(l=0.5, d=0.65), tuner_mode="per_chain"))
+    samples_l, final_l, acc_l = fn_l(7, theta0s)
+    jax.block_until_ready(final_l)
+    assert np.all(np.isfinite(np.asarray(final_l)))
+    rates_l = np.asarray(acc_l) / (T - BURNIN)
+    out["hmc_per_chain_l_acceptance_mean"] = round(float(rates_l.mean()), 4)
+    out["hmc_per_chain_l_q05"] = round(float(np.quantile(rates_l, 0.05)), 4)
+    out["hmc_per_chain_l_q95"] = round(float(np.quantile(rates_l, 0.95)), 4)
+    out["hmc_per_chain_l_near_target"] = bool(
+        abs(rates_l.mean() - 0.65) < 0.15 and np.quantile(rates_l, 0.05) > 0.4)
+    # cross-check posterior moments vs the population-tuned kernel
+    pop_samples, pop_final, _ = jax.jit(make_resident_hmc_dense(
+        model, xn, yn, step=1.0, num_steps=1, num_iters=T,
+        num_burnin_iters=BURNIN, chain_block=8192,
+        tuner=HMCDATuner(l=0.5, d=0.65)))(11, theta0s)
+    jax.block_until_ready(pop_final)
+    m_l = np.asarray(samples_l[:, :2048, :], dtype=np.float64).mean(axis=(0, 1))
+    m_p = np.asarray(pop_samples[:, :2048, :], dtype=np.float64).mean(axis=(0, 1))
+    chain_means = np.asarray(pop_samples[:, :2048, :], dtype=np.float64).mean(axis=0)
+    se = chain_means.std(axis=0, ddof=1) / np.sqrt(chain_means.shape[0])
+    tol = 6 * se + 1e-3
+    out["hmc_per_chain_l_moment_diff"] = float(np.max(np.abs(m_l - m_p)))
+    out["hmc_per_chain_l_moments_match"] = bool(np.all(np.abs(m_l - m_p) < tol))
+    print(json.dumps({"hmc_per_chain_l": out["hmc_per_chain_l_acceptance_mean"],
+                      "q05": out["hmc_per_chain_l_q05"],
+                      "q95": out["hmc_per_chain_l_q95"],
+                      "moments_match": out["hmc_per_chain_l_moments_match"]}),
+          flush=True)
+
     path = Path(__file__).parent / "DENSE_RESULTS.json"
     results = json.loads(path.read_text()) if path.exists() else {}
     results["walk_tuner_validation"] = out

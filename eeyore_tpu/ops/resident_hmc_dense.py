@@ -48,8 +48,13 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
     across the block, so leapfrog trip counts never diverge between lanes.
     'per_chain' gives every chain its own dual-averaged step tile driven by
     its own Metropolis statistic (the scanned kernel's semantics,
-    samplers/hmc.py), with the trajectory length FIXED at ``num_steps`` —
-    lane-divergent trip counts are impossible by construction."""
+    samplers/hmc.py); when the tuner has a trajectory length ``l``, each
+    chain also gets its own ``num_steps = clip(round(l/step), 1,
+    max_num_steps)`` and the leapfrog loop runs to the BLOCK MAX with
+    per-lane masking (finished lanes freeze: zero position/momentum
+    increments, so the re-evaluated value/grad are unchanged). With
+    ``l=None`` the trajectory stays FIXED at ``num_steps`` (the round-2
+    behavior)."""
     vg = make_vg_dense(model, x, y)
     P = model.num_params
     if tuner_mode not in ("population", "per_chain"):
@@ -73,6 +78,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
         acc0 = jnp.zeros(tile, dtype=jnp.float32)
         stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
 
+        per_chain_l = per_chain and tuner.l is not None
         if per_chain:
             step0 = jnp.full(tile, step, dtype=jnp.float32)
             barh0 = jnp.zeros(tile, dtype=jnp.float32)
@@ -81,7 +87,10 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             step0 = jnp.float32(step)
             barh0 = jnp.float32(0.0)
             logbare0 = jnp.float32(0.0)
-        n_steps0 = jnp.int32(num_steps)
+        if per_chain_l:
+            n_steps0 = jnp.full(tile, num_steps, dtype=jnp.int32)
+        else:
+            n_steps0 = jnp.int32(num_steps)
         tuner_m = jnp.float32(math.log(10.0 * step))
 
         def iteration(t, carry):
@@ -94,16 +103,33 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
 
             p_half = tuple(mom[p] + (0.5 * cur_step) * grad[p] for p in range(P))
 
-            def lf_body(s, c):
-                th, pm, v, g = c
-                th = tuple(th[p] + cur_step * pm[p] for p in range(P))
-                v, g = vg(th)
-                factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
-                pm = tuple(pm[p] + (factor * cur_step) * g[p] for p in range(P))
-                return (th, pm, v, tuple(g))
+            if per_chain_l:
+                # lane-divergent trajectories: run to the block max with
+                # per-lane masking — finished lanes get zero increments, so
+                # the (recomputed) value/grad stay at their trajectory end
+                def lf_body(s, c):
+                    th, pm, v, g = c
+                    stepfac = jnp.where(s < cur_n_steps, cur_step, 0.0)
+                    th = tuple(th[p] + stepfac * pm[p] for p in range(P))
+                    v, g = vg(th)
+                    pmfac = jnp.where(s == cur_n_steps - 1, 0.5, 1.0) * stepfac
+                    pm = tuple(pm[p] + pmfac * g[p] for p in range(P))
+                    return (th, pm, v, tuple(g))
+
+                trip = jnp.max(cur_n_steps)
+            else:
+                def lf_body(s, c):
+                    th, pm, v, g = c
+                    th = tuple(th[p] + cur_step * pm[p] for p in range(P))
+                    v, g = vg(th)
+                    factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
+                    pm = tuple(pm[p] + (factor * cur_step) * g[p] for p in range(P))
+                    return (th, pm, v, tuple(g))
+
+                trip = cur_n_steps
 
             th, pm, v, g = jax.lax.fori_loop(
-                0, cur_n_steps, lf_body, (theta, p_half, val, tuple(grad)))
+                0, trip, lf_body, (theta, p_half, val, tuple(grad)))
 
             ke_p = pm[0] * pm[0]
             for p in range(1, P):
@@ -140,7 +166,9 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                 barh = jnp.where(tune_now, new_barh, barh)
                 logbare = jnp.where(tune_now, new_logbare, logbare)
                 cur_step = jnp.where(tune_now, new_step, cur_step)
-                if not per_chain:
+                if not per_chain or per_chain_l:
+                    # the l-rule: scalar in 'population' mode, a per-lane
+                    # tile in 'per_chain' mode (block-max bounded leapfrog)
                     new_n_steps = jnp.clip(
                         jnp.round(tuner.l / new_step).astype(jnp.int32), 1,
                         max_num_steps)
@@ -171,22 +199,54 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             final_ref[p * 8:(p + 1) * 8, :] = theta[p]
         acc_ref[:, :] = acc
 
-    def fn(seed, theta0s):
+    def fn(seed, theta0s, samples_buf=None):
+        """``samples_buf``: optional previous samples array of the exact
+        output shape, aliased in place of a fresh 4*kept*P*C-byte HBM
+        allocation (pallas input_output_aliases). Callers running
+        back-to-back (the headline bench) pass the last call's samples and
+        jit with ``donate_argnums=(2,)`` — the per-dispatch gigabyte alloc
+        was ~half the measured launch overhead at 131072x256.
+
+        ``theta0s``: [C, P] chain-major, or the raw [P*8, C/8] dense tiles
+        (detected by shape) so repeat callers can pre-stack once."""
         theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
-        C = theta0s.shape[0]
+        if (theta0s.ndim == 2 and theta0s.shape[0] == P * 8
+                and theta0s.shape[1] != P):
+            # raw dense tiles (ambiguous [P*8, P] shapes read as chain-major)
+            dense = theta0s
+            C = theta0s.shape[1] * 8
+        else:
+            C = theta0s.shape[0]
+            dense = None
         if C % chain_block != 0:
             raise ValueError(f"{C} chains not a multiple of chain_block {chain_block}")
         num_blocks = C // chain_block
         total_lanes = C // 8
-        dense = stack_chains(theta0s)  # [P*8, C/8]
+        if dense is None:
+            dense = stack_chains(theta0s)          # [P*8, C/8]
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        args = [jnp.asarray([seed], jnp.int32), dense]
+        io_aliases = {}
+        if samples_buf is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            args.append(samples_buf)
+            io_aliases = {2: 0}
+
+        def kernel_wrap(*refs):
+            if samples_buf is not None:
+                seed_ref, theta_ref, _sbuf_ref, *rest = refs
+            else:
+                seed_ref, theta_ref, *rest = refs
+            return kernel(seed_ref, theta_ref, *rest)
 
         samples, final, acc = pl.pallas_call(
-            kernel,
+            kernel_wrap,
             grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # samples stay in HBM
                 pl.BlockSpec((rows, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -201,10 +261,11 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                 pltpu.VMEM((rows, lane_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
+            input_output_aliases=io_aliases,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
-        )(jnp.asarray([seed], jnp.int32), dense)
+        )(*args)
 
         if not unstack_outputs:
             return samples, final, acc

@@ -159,7 +159,8 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
 
 def make_resident_smc(model, x, y, num_particles, betas=None,
                       num_mutation_steps=2, mutation="MALA", mutation_step=0.1,
-                      ess_threshold=0.5, chain_block=4096):
+                      ess_threshold=0.5, chain_block=4096,
+                      adaptive_target_ess=0.5, max_stages=50):
     """Build ``runner(seed) -> (particles [N, P], log_weights [N],
     diagnostics)``: tempered SMC (samplers/smc.py semantics: prior *
     lik^beta path, ESS-triggered systematic resampling, evidence
@@ -172,10 +173,18 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
     seed is a traced scalar, so the returned runner never retraces across
     calls. Diagnostics carry the per-stage keys of SMCSampler.run
     (+ ``log_evidence``, ``final_weight_ess``). TPU-only.
+
+    ``betas="adaptive"`` switches the scan to a bounded while_loop whose
+    next temperature comes from ESS bisection (SMCSampler._next_beta
+    semantics): the mutation kernel already takes beta as a traced SMEM
+    scalar, so one compiled kernel serves the dynamic ladder; diagnostics
+    gain ``num_stages`` and are trimmed to the stages actually run.
     """
-    if betas is None:
-        betas = [(i / 10) ** 4 for i in range(0, 11)]
-    betas = np.asarray(betas, dtype=np.float32)
+    adaptive = isinstance(betas, str) and betas == "adaptive"
+    if not adaptive:
+        if betas is None:
+            betas = [(i / 10) ** 4 for i in range(0, 11)]
+        betas = np.asarray(betas, dtype=np.float32)
     n = int(num_particles)
     x = np.asarray(x)
     y = np.asarray(y)
@@ -217,6 +226,26 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
                "unique_frac": unique_frac}
         return (particles, pots, log_w, log_z, key), out
 
+    def next_beta(log_w, pots, beta_prev):
+        """ESS-bisection next temperature (SMCSampler._next_beta algebra)."""
+        target = jnp.float32(adaptive_target_ess * n)
+        one = jnp.float32(1.0)
+
+        def ess_at(b):
+            return jnp.exp(log_ess(log_w + (b - beta_prev) * pots))
+
+        full_ok = ess_at(one) >= target
+
+        def body(_, c):
+            lo, hi = c
+            mid = 0.5 * (lo + hi)
+            ok = ess_at(mid) >= target
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(0, 30, body, (beta_prev, one))
+        lo = jnp.maximum(lo, beta_prev + jnp.float32(1e-6))
+        return jnp.where(full_ok, one, jnp.minimum(lo, one))
+
     def run(seed_val):
         key = jax.random.PRNGKey(seed_val)
         key_birth, key_stages = jax.random.split(key)
@@ -225,17 +254,52 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
         pots = jax.vmap(lambda t: model.log_lik(t, xj, yj))(particles)
         log_w = jnp.zeros(n, dtype=jnp.float32)
         log_z = jnp.zeros((), dtype=jnp.float32)
-        stage_seeds = seed_val + 7919 * jnp.arange(1, len(betas), dtype=jnp.int32)
-        (particles, pots, log_w, log_z, _), diags = jax.lax.scan(
-            stage, (particles, pots, log_w, log_z, key_stages),
-            (jnp.asarray(betas[:-1]), jnp.asarray(betas[1:]), stage_seeds))
-        return particles, log_w, log_z, diags
+        if not adaptive:
+            stage_seeds = seed_val + 7919 * jnp.arange(1, len(betas), dtype=jnp.int32)
+            (particles, pots, log_w, log_z, _), diags = jax.lax.scan(
+                stage, (particles, pots, log_w, log_z, key_stages),
+                (jnp.asarray(betas[:-1]), jnp.asarray(betas[1:]), stage_seeds))
+            return particles, log_w, log_z, diags, jnp.int32(len(betas) - 1)
+
+        M = max_stages
+        diags0 = {"beta": jnp.zeros(M, jnp.float32),
+                  "ess": jnp.zeros(M, jnp.float32),
+                  "resampled": jnp.zeros(M, bool),
+                  "mutation_acceptance": jnp.zeros(M, jnp.float32),
+                  "unique_frac": jnp.zeros(M, jnp.float32)}
+
+        def cond(c):
+            return (c["beta"] < 1.0) & (c["stage"] < M)
+
+        def body(c):
+            beta = next_beta(c["log_w"], c["pots"], c["beta"])
+            stage_seed = seed_val + 7919 * (c["stage"] + 1)
+            (particles, pots, log_w, log_z, key), out = stage(
+                (c["particles"], c["pots"], c["log_w"], c["log_z"], c["key"]),
+                (c["beta"], beta, stage_seed))
+            i = c["stage"]
+            diags = {k: c["diags"][k].at[i].set(out[k]) for k in c["diags"]}
+            return {"particles": particles, "pots": pots, "log_w": log_w,
+                    "log_z": log_z, "key": key, "beta": beta,
+                    "stage": i + 1, "diags": diags}
+
+        out = jax.lax.while_loop(cond, body, {
+            "particles": particles, "pots": pots, "log_w": log_w,
+            "log_z": log_z, "key": key_stages,
+            "beta": jnp.zeros((), jnp.float32),
+            "stage": jnp.zeros((), jnp.int32), "diags": diags0,
+        })
+        return (out["particles"], out["log_w"], out["log_z"], out["diags"],
+                out["stage"])
 
     jit_run = jax.jit(run)
 
     def runner(seed):
-        particles, log_w, log_z, diags = jit_run(jnp.int32(seed))
-        diagnostics = {k: np.asarray(v) for k, v in diags.items()}
+        particles, log_w, log_z, diags, num_stages = jit_run(jnp.int32(seed))
+        num_stages = int(num_stages)
+        diagnostics = {k: np.asarray(v)[:num_stages] for k, v in diags.items()}
+        if adaptive:
+            diagnostics["num_stages"] = num_stages
         diagnostics["log_evidence"] = float(log_z)
         diagnostics["final_weight_ess"] = float(jnp.exp(log_ess(log_w)))
         return particles, log_w, diagnostics

@@ -97,7 +97,8 @@ class NUTS(HMC):
     needs_iteration = True
 
     def __init__(self, model, step=0.1, max_depth=10, tuner=None,
-                 num_burnin_iters=0, recompute_current=False, mass_adapt=False):
+                 num_burnin_iters=0, recompute_current=False, mass_adapt=False,
+                 fixed_budget=False):
         super().__init__(model, step=step, num_steps=1, tuner=tuner,
                          num_burnin_iters=num_burnin_iters,
                          recompute_current=recompute_current)
@@ -108,6 +109,18 @@ class NUTS(HMC):
         # the step size against the new metric via a dual-averaging warm
         # restart). Needs num_burnin_iters >= 20 to engage.
         self.mass_adapt = bool(mass_adapt)
+        # Fixed-budget transitions: every transition executes exactly
+        # 2^max_depth - 1 leapfrogs as STATIC control flow (unrolled
+        # doublings + fori_loop subtrees) with per-leaf masking that
+        # reproduces the adaptive builder's early-stopping algebra. Under
+        # vmap the adaptive while_loops run in lockstep — every chain pays
+        # for the deepest chain's tree (the measured ~190x penalty at 32k
+        # chains, benchmarks/NUTS_RESULTS.json); the fixed-budget form pays
+        # 2^max_depth - 1 ALWAYS but never more, so a small max_depth (3-5)
+        # recovers HMC-class throughput. Given the same keys it draws
+        # IDENTICAL samples to the adaptive form at equal max_depth
+        # (tests/test_nuts.py pins this).
+        self.fixed_budget = bool(fixed_budget)
 
     def init(self, theta, x, y, key=None):
         theta = jnp.asarray(theta)
@@ -224,6 +237,150 @@ class NUTS(HMC):
         })
         return out
 
+    # ---- fixed-budget subtree: static 2^depth leapfrogs, masked algebra ----
+
+    def _build_subtree_fixed(self, key, depth, theta0, rho0, grad0, step,
+                             inv_mass, logp0, x, y):
+        """Same contract as ``_build_subtree`` with a STATIC trip count
+        (``depth`` is a python int): all ``2**depth`` leapfrogs execute;
+        after an internal stop (turning/divergence) further leaves stop
+        contributing — weights forced to -inf, stats and flags gated — so
+        the returned pytree equals the adaptive builder's (the final end
+        state is only consumed when the subtree is good, in which case all
+        leaves ran anyway). Key fold-in matches the adaptive builder
+        leaf-for-leaf, so draws are bit-identical."""
+        p = theta0.shape[0]
+        dtype = theta0.dtype
+        num_slots = self.max_depth - 1
+        ckpt_theta = jnp.zeros((num_slots + 1, p), dtype)
+        ckpt_rho = jnp.zeros((num_slots + 1, p), dtype)
+        neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+        def body(n, c):
+            live = jnp.logical_not(c["turning"] | c["diverging"])
+            theta, rho, target, grad = self._leapfrog_one(
+                c["theta"], c["rho"], c["grad"], step, inv_mass, x, y)
+            logp = target - 0.5 * jnp.dot(rho, inv_mass * rho)
+            w = logp - logp0
+            leaf_div = jnp.logical_not(w > -DIVERGENCE_THRESHOLD)
+            alpha = jnp.minimum(jnp.exp(w), 1.0)
+            alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+
+            w_eff = jnp.where(live, w, neg_inf)
+            new_lse = jnp.logaddexp(c["lse"], w_eff)
+            u = jax.random.uniform(jax.random.fold_in(key, n), dtype=dtype)
+            take = live & (jnp.log(u) < w_eff - new_lse)
+            prop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b),
+                (theta, target, grad), c["prop"])
+
+            pc = _popcount(n)
+            even = (n % 2) == 0
+            store_idx = jnp.where(even, pc, num_slots)
+            ckpt_t = c["ckpt_theta"].at[store_idx].set(
+                jnp.where(even, theta, c["ckpt_theta"][store_idx]))
+            ckpt_r = c["ckpt_rho"].at[store_idx].set(
+                jnp.where(even, rho, c["ckpt_rho"][store_idx]))
+            idx_max = pc - 1
+            idx_min = pc - _trailing_ones(n)
+
+            def check(i, turning):
+                active = jnp.logical_not(even) & (i >= idx_min) & (i <= idx_max)
+                turn_i = _is_uturn(theta - ckpt_t[i], inv_mass * ckpt_r[i], inv_mass * rho)
+                return turning | (active & turn_i)
+
+            found_turn = jax.lax.fori_loop(0, num_slots, check,
+                                           jnp.zeros((), bool))
+
+            return {
+                "theta": theta, "rho": rho, "target": target,
+                "grad": grad, "lse": new_lse, "prop": prop,
+                "sum_alpha": c["sum_alpha"] + jnp.where(live, alpha, 0.0),
+                "num_alpha": c["num_alpha"] + jnp.where(live,
+                                                        jnp.int32(1),
+                                                        jnp.int32(0)),
+                "ckpt_theta": ckpt_t, "ckpt_rho": ckpt_r,
+                "turning": c["turning"] | (live & found_turn),
+                "diverging": c["diverging"] | (live & leaf_div),
+            }
+
+        return jax.lax.fori_loop(0, 2 ** depth, body, {
+            "theta": theta0, "rho": rho0,
+            "target": jnp.zeros((), dtype),
+            "grad": grad0, "lse": neg_inf,
+            "prop": (theta0, jnp.zeros((), dtype), grad0),
+            "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
+            "ckpt_theta": ckpt_theta, "ckpt_rho": ckpt_rho,
+            "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
+        })
+
+    def _tree_fixed(self, key_tree, state, current_target, current_grad,
+                    rho0, logp0, step, inv_mass, x, y):
+        """Fixed-budget trajectory: the doubling loop unrolled over
+        ``max_depth`` levels with every level's merge algebra gated by the
+        pre-level live flag — level-for-level identical to the adaptive
+        while_loop, at exactly ``2^max_depth - 1`` leapfrogs."""
+        dtype = state.sample.dtype
+        c = {
+            "kept_depth": jnp.zeros((), jnp.int32),
+            "theta_l": state.sample, "r_l": rho0, "grad_l": current_grad,
+            "theta_r": state.sample, "r_r": rho0, "grad_r": current_grad,
+            "prop": (state.sample, current_target, current_grad),
+            "lse": jnp.zeros((), dtype),
+            "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
+            "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
+        }
+        for depth in range(self.max_depth):
+            kd = jax.random.fold_in(key_tree, depth)
+            k_dir, k_sub, k_merge = jax.random.split(kd, 3)
+            active = jnp.logical_not(c["turning"] | c["diverging"])
+            v = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0).astype(dtype)
+            go_right = v > 0
+
+            end_theta = jnp.where(go_right, c["theta_r"], c["theta_l"])
+            end_r = jnp.where(go_right, c["r_r"], c["r_l"])
+            end_grad = jnp.where(go_right, c["grad_r"], c["grad_l"])
+
+            sub = self._build_subtree_fixed(
+                k_sub, depth, end_theta, v * end_r, end_grad, step, inv_mass,
+                logp0, x, y)
+
+            bad = sub["turning"] | sub["diverging"]
+            sum_alpha = c["sum_alpha"] + jnp.where(active, sub["sum_alpha"], 0.0)
+            num_alpha = c["num_alpha"] + jnp.where(active, sub["num_alpha"], 0)
+
+            accept_log_prob = jnp.minimum(sub["lse"] - c["lse"], 0.0)
+            u = jax.random.uniform(k_merge, dtype=dtype)
+            take = active & jnp.logical_not(bad) & (jnp.log(u) < accept_log_prob)
+            prop = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b), sub["prop"], c["prop"])
+            ok = active & jnp.logical_not(bad)
+            lse = jnp.where(ok, jnp.logaddexp(c["lse"], sub["lse"]), c["lse"])
+
+            new_end = (sub["theta"], v * sub["rho"], sub["grad"])
+            theta_r = jnp.where(ok & go_right, new_end[0], c["theta_r"])
+            r_r = jnp.where(ok & go_right, new_end[1], c["r_r"])
+            grad_r = jnp.where(ok & go_right, new_end[2], c["grad_r"])
+            theta_l = jnp.where(ok & ~go_right, new_end[0], c["theta_l"])
+            r_l = jnp.where(ok & ~go_right, new_end[1], c["r_l"])
+            grad_l = jnp.where(ok & ~go_right, new_end[2], c["grad_l"])
+
+            dtheta = theta_r - theta_l
+            whole_turn = ok & _is_uturn(dtheta, inv_mass * r_l, inv_mass * r_r)
+            turning = c["turning"] | (active & (bad | whole_turn))
+            diverging = c["diverging"] | (active & sub["diverging"])
+
+            c = {
+                "kept_depth": jnp.where(ok, jnp.asarray(depth + 1, jnp.int32),
+                                        c["kept_depth"]),
+                "theta_l": theta_l, "r_l": r_l, "grad_l": grad_l,
+                "theta_r": theta_r, "r_r": r_r, "grad_r": grad_r,
+                "prop": prop, "lse": lse,
+                "sum_alpha": sum_alpha, "num_alpha": num_alpha,
+                "turning": turning, "diverging": diverging,
+            }
+        return c
+
     # ---- one NUTS transition ----
 
     def step_fn(self, key, state, x, y, iteration):
@@ -298,17 +455,22 @@ class NUTS(HMC):
                 "turning": turning, "diverging": c["diverging"] | sub["diverging"],
             }
 
-        tree = jax.lax.while_loop(cond, body, {
-            "depth": jnp.zeros((), jnp.int32),
-            "kept_depth": jnp.zeros((), jnp.int32),
-            "theta_l": state.sample, "r_l": rho0, "grad_l": current_grad,
-            "theta_r": state.sample, "r_r": rho0, "grad_r": current_grad,
-            # the start state enters the multinomial pool with weight exp(0)
-            "prop": (state.sample, current_target, current_grad),
-            "lse": jnp.zeros((), dtype),
-            "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
-            "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
-        })
+        if self.fixed_budget:
+            tree = self._tree_fixed(key_tree, state, current_target,
+                                    current_grad, rho0, logp0, step, inv_mass,
+                                    x, y)
+        else:
+            tree = jax.lax.while_loop(cond, body, {
+                "depth": jnp.zeros((), jnp.int32),
+                "kept_depth": jnp.zeros((), jnp.int32),
+                "theta_l": state.sample, "r_l": rho0, "grad_l": current_grad,
+                "theta_r": state.sample, "r_r": rho0, "grad_r": current_grad,
+                # the start state enters the multinomial pool with weight exp(0)
+                "prop": (state.sample, current_target, current_grad),
+                "lse": jnp.zeros((), dtype),
+                "sum_alpha": jnp.zeros((), dtype), "num_alpha": jnp.zeros((), jnp.int32),
+                "turning": jnp.zeros((), bool), "diverging": jnp.zeros((), bool),
+            })
 
         new_sample, new_target, new_grad = tree["prop"]
         accepted = jnp.any(new_sample != state.sample).astype(jnp.int32)

@@ -56,16 +56,32 @@ def log_ess(log_weights):
 class SMCSampler:
     def __init__(self, model, num_particles, betas=None, num_mutation_steps=2,
                  mutation="MALA", mutation_step=0.1, ess_threshold=0.5,
-                 init_sampler=None, base_log_pdf=None):
+                 init_sampler=None, base_log_pdf=None,
+                 adaptive_target_ess=0.5, max_stages=50):
         """``betas``: increasing schedule ending at 1.0 (default: the
-        reference's quartic ladder (i/N)^4 with N=10 rungs, prepended with 0).
+        reference's quartic ladder (i/N)^4 with N=10 rungs, prepended with 0),
+        or the string ``"adaptive"`` to choose each next temperature by ESS
+        bisection: the largest ``b`` with
+        ``ESS(log_w + (b - b_prev) * potential) >= adaptive_target_ess * N``
+        (standard adaptive tempering; jumps straight to 1 when allowed), with
+        at most ``max_stages`` stages. Adaptive schedules concentrate stages
+        where the tempering path actually bends — typically several-fold
+        fewer stages than the reference's fixed quartic ladder at equal
+        evidence quality.
+
         ``mutation``: 'MALA' or 'MH'. ``ess_threshold``: resample when
         ESS < threshold * N."""
         self.model = model
         self.num_particles = num_particles
-        if betas is None:
-            betas = [(i / 10) ** 4 for i in range(0, 11)]
-        self.betas = jnp.asarray(betas)
+        self.adaptive = isinstance(betas, str) and betas == "adaptive"
+        if self.adaptive:
+            self.betas = None
+        else:
+            if betas is None:
+                betas = [(i / 10) ** 4 for i in range(0, 11)]
+            self.betas = jnp.asarray(betas)
+        self.adaptive_target_ess = float(adaptive_target_ess)
+        self.max_stages = int(max_stages)
         self.num_mutation_steps = num_mutation_steps
         self.mutation = mutation
         self.mutation_step = mutation_step
@@ -153,49 +169,91 @@ class SMCSampler:
         keys = jax.random.split(key, particles.shape[0])
         return jax.vmap(one)(keys, particles)
 
+    # ---- adaptive next-temperature: ESS bisection ----
+
+    def _next_beta(self, log_w, pots, beta_prev):
+        """Largest b in (beta_prev, 1] with ESS of the reweighted cloud at
+        least ``adaptive_target_ess * N`` — 30 bisection steps on the
+        monotone ESS(b) curve (two logsumexps per step: negligible next to
+        one mutation pass)."""
+        n = log_w.shape[0]
+        dtype = log_w.dtype
+        target = jnp.asarray(self.adaptive_target_ess * n, dtype)
+        one = jnp.asarray(1.0, dtype)
+
+        def ess_at(b):
+            return jnp.exp(log_ess(log_w + (b - beta_prev) * pots))
+
+        full_ok = ess_at(one) >= target
+
+        def body(_, c):
+            lo, hi = c
+            mid = 0.5 * (lo + hi)
+            ok = ess_at(mid) >= target
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        lo, _ = jax.lax.fori_loop(0, 30, body, (beta_prev, one))
+        # never stall: bisection can collapse onto beta_prev when even tiny
+        # increments break the target; force a minimal advance
+        lo = jnp.maximum(lo, beta_prev + jnp.asarray(1e-6, dtype))
+        return jnp.where(full_ok, one, jnp.minimum(lo, one))
+
     # ---- the annealing pass ----
 
+    def _stage_core(self, key_res, key_mut, particles, log_w, log_z, pots,
+                    beta_prev, beta, x, y):
+        """Reweight -> ESS-triggered systematic resample -> mutate: the body
+        shared by the fixed-schedule scan and the adaptive while_loop."""
+        n = log_w.shape[0]
+        # 1. reweight: w *= lik^(beta - beta_prev); accumulate evidence as
+        # the log mean incremental weight under the previous normalization
+        incr = (beta - beta_prev) * pots
+        norm_prev = jax.nn.softmax(log_w)
+        log_z = log_z + jax.scipy.special.logsumexp(jnp.log(norm_prev) + incr)
+        log_w = log_w + incr
+
+        # 2. resample if ESS below threshold
+        ess = jnp.exp(log_ess(log_w))
+        do_resample = ess < self.ess_threshold * n
+        norm_w = jax.nn.softmax(log_w)
+        idx = systematic_resample_indices(key_res, norm_w)
+        particles = jnp.where(do_resample, particles[idx], particles)
+        log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+        unique_frac = jnp.where(
+            do_resample,
+            jnp.bincount(idx, length=n).astype(particles.dtype).clip(0, 1).mean(),
+            jnp.ones((), dtype=particles.dtype),
+        )
+
+        # 3. mutate with MCMC at the new temperature
+        particles, acc = self._mutate(key_mut, particles, beta, x, y)
+
+        out = {"beta": beta, "ess": ess, "resampled": do_resample,
+               "mutation_acceptance": jnp.mean(acc), "unique_frac": unique_frac}
+        return particles, log_w, log_z, out
+
     def run(self, key, data, jit=True, record=False):
-        """Anneal prior -> posterior over the beta schedule.
+        """Anneal prior -> posterior over the beta schedule (fixed scan, or
+        ESS-bisection adaptive tempering when constructed with
+        ``betas="adaptive"``).
 
         Returns (final SMCState, diagnostics dict with per-stage ess,
         resampled flags, mutation acceptance, log normalizing-constant
-        estimate)."""
+        estimate; adaptive runs add ``num_stages`` and trim the per-stage
+        arrays to the stages actually run)."""
         x, y = (jnp.asarray(data[0]), jnp.asarray(data[1]))
         n = self.num_particles
+        if self.adaptive:
+            return self._run_adaptive(key, x, y, jit=jit)
 
         def stage(carry, inputs):
             particles, log_w, log_z, key = carry
             beta_prev, beta = inputs
             key, key_res, key_mut = jax.random.split(key, 3)
-
-            # 1. reweight: w *= lik^(beta - beta_prev)
             pots = jax.vmap(lambda t: self._potential(t, x, y))(particles)
-            incr = (beta - beta_prev) * pots
-            # accumulate evidence: log mean of incremental weights under the
-            # previous normalized weights
-            norm_prev = jax.nn.softmax(log_w)
-            log_z = log_z + jax.scipy.special.logsumexp(jnp.log(norm_prev) + incr)
-            log_w = log_w + incr
-
-            # 2. resample if ESS below threshold
-            ess = jnp.exp(log_ess(log_w))
-            do_resample = ess < self.ess_threshold * n
-            norm_w = jax.nn.softmax(log_w)
-            idx = systematic_resample_indices(key_res, norm_w)
-            particles = jnp.where(do_resample, particles[idx], particles)
-            log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
-            unique_frac = jnp.where(
-                do_resample,
-                jnp.bincount(idx, length=n).astype(particles.dtype).clip(0, 1).mean(),
-                jnp.ones((), dtype=particles.dtype),
-            )
-
-            # 3. mutate with MCMC at the new temperature
-            particles, acc = self._mutate(key_mut, particles, beta, x, y)
-
-            out = {"beta": beta, "ess": ess, "resampled": do_resample,
-                   "mutation_acceptance": jnp.mean(acc), "unique_frac": unique_frac}
+            particles, log_w, log_z, out = self._stage_core(
+                key_res, key_mut, particles, log_w, log_z, pots,
+                beta_prev, beta, x, y)
             return (particles, log_w, log_z, key), out
 
         def run_fn(key):
@@ -220,6 +278,66 @@ class SMCSampler:
             unique_frac=diags["unique_frac"][-1],
         )
         diagnostics = {k: jax.device_get(v) for k, v in diags.items()}
+        diagnostics["log_evidence"] = float(log_z)
+        return state, diagnostics
+
+    def _run_adaptive(self, key, x, y, jit=True):
+        """Adaptive tempering: a bounded while_loop whose next temperature
+        comes from ``_next_beta``; per-stage diagnostics land in
+        ``max_stages``-sized arrays written at the stage index."""
+        n = self.num_particles
+        M = self.max_stages
+
+        def cond(c):
+            return (c["beta"] < 1.0) & (c["stage"] < M)
+
+        def body(c):
+            key, key_res, key_mut = jax.random.split(c["key"], 3)
+            particles, log_w, log_z = c["particles"], c["log_w"], c["log_z"]
+            pots = jax.vmap(lambda t: self._potential(t, x, y))(particles)
+            beta = self._next_beta(log_w, pots, c["beta"])
+            particles, log_w, log_z, out = self._stage_core(
+                key_res, key_mut, particles, log_w, log_z, pots,
+                c["beta"], beta, x, y)
+            i = c["stage"]
+            diags = {k: c["diags"][k].at[i].set(out[k]) for k in c["diags"]}
+            return {"particles": particles, "log_w": log_w, "log_z": log_z,
+                    "key": key, "beta": beta, "stage": i + 1, "diags": diags}
+
+        def run_fn(key):
+            key_init, key_stages = jax.random.split(key)
+            particles = self._sample_init(key_init)
+            dtype = particles.dtype
+            diags0 = {
+                "beta": jnp.zeros(M, dtype), "ess": jnp.zeros(M, dtype),
+                "resampled": jnp.zeros(M, bool),
+                "mutation_acceptance": jnp.zeros(M, dtype),
+                "unique_frac": jnp.zeros(M, dtype),
+            }
+            out = jax.lax.while_loop(cond, body, {
+                "particles": particles,
+                "log_w": jnp.zeros(n, dtype),
+                "log_z": jnp.zeros((), dtype),
+                "key": key_stages,
+                "beta": jnp.zeros((), dtype),
+                "stage": jnp.zeros((), jnp.int32),
+                "diags": diags0,
+            })
+            return (out["particles"], out["log_w"], out["log_z"],
+                    out["stage"], out["diags"])
+
+        fn = jax.jit(run_fn) if jit else run_fn
+        particles, log_w, log_z, num_stages, diags = fn(key)
+        num_stages = int(num_stages)
+        ess = float(jnp.exp(log_ess(log_w)))
+        state = SMCState(
+            particles=particles, log_weights=log_w,
+            log_lik=jnp.zeros(n, dtype=particles.dtype),
+            beta=jnp.asarray(1.0, particles.dtype), ess=jnp.asarray(ess),
+            unique_frac=diags["unique_frac"][num_stages - 1],
+        )
+        diagnostics = {k: jax.device_get(v)[:num_stages] for k, v in diags.items()}
+        diagnostics["num_stages"] = num_stages
         diagnostics["log_evidence"] = float(log_z)
         return state, diagnostics
 

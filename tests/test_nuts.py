@@ -220,3 +220,59 @@ class TestNUTSOnModel:
         assert samples.shape == (200, model.num_params)
         assert np.all(np.isfinite(samples))
         assert float(np.mean(np.asarray(chain.vals["accept_stat"]))) > 0.5
+
+
+class TestFixedBudget:
+    """fixed_budget=True replaces the lockstep while_loops with static
+    control flow (unrolled doublings + fori_loop subtrees) whose masked
+    algebra must reproduce the adaptive transition EXACTLY: same keys, same
+    max_depth => bit-identical chains."""
+
+    def test_bit_identical_to_adaptive(self):
+        model = _gaussian_model(np.array([[1.0, 0.6], [0.6, 1.0]]))
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        key = jax.random.PRNGKey(11)
+        theta0 = jnp.asarray([0.3, -0.2])
+        for depth in (2, 3, 4):
+            ada = sample_chain(NUTS(model, step=0.4, max_depth=depth), key,
+                               theta0, data, num_iters=200, jit=True)
+            fix = sample_chain(NUTS(model, step=0.4, max_depth=depth,
+                                    fixed_budget=True), key, theta0, data,
+                               num_iters=200, jit=True)
+            np.testing.assert_array_equal(np.asarray(fix.get_samples()),
+                                          np.asarray(ada.get_samples()))
+            np.testing.assert_array_equal(np.asarray(fix.vals["depth"]),
+                                          np.asarray(ada.vals["depth"]))
+            np.testing.assert_array_equal(np.asarray(fix.vals["num_leapfrogs"]),
+                                          np.asarray(ada.vals["num_leapfrogs"]))
+            np.testing.assert_array_equal(np.asarray(fix.vals["divergent"]),
+                                          np.asarray(ada.vals["divergent"]))
+
+    def test_bit_identical_with_divergences(self):
+        # huge step: divergences + early stops exercise the masked paths
+        model = _gaussian_model(np.array([[1.0, 0.0], [0.0, 1.0]]))
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        key = jax.random.PRNGKey(13)
+        theta0 = jnp.asarray([2.0, -2.0])
+        ada = sample_chain(NUTS(model, step=5.0, max_depth=4), key, theta0,
+                           data, num_iters=150, jit=True)
+        fix = sample_chain(NUTS(model, step=5.0, max_depth=4,
+                                fixed_budget=True), key, theta0, data,
+                           num_iters=150, jit=True)
+        np.testing.assert_array_equal(np.asarray(fix.get_samples()),
+                                      np.asarray(ada.get_samples()))
+        np.testing.assert_array_equal(np.asarray(fix.vals["divergent"]),
+                                      np.asarray(ada.vals["divergent"]))
+
+    def test_vmapped_chains_match(self):
+        model = _gaussian_model(np.array([[1.0, 0.6], [0.6, 1.0]]))
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        key = jax.random.PRNGKey(17)
+        theta0s = 0.3 * jax.random.normal(jax.random.PRNGKey(18), (16, 2))
+        ada = sample_chains(NUTS(model, step=0.4, max_depth=3), key, theta0s,
+                            data, num_iters=120, return_arrays=True)
+        fix = sample_chains(NUTS(model, step=0.4, max_depth=3,
+                                 fixed_budget=True), key, theta0s, data,
+                            num_iters=120, return_arrays=True)
+        np.testing.assert_array_equal(np.asarray(fix["sample"]),
+                                      np.asarray(ada["sample"]))

@@ -161,6 +161,10 @@ class TestDenseKernelContracts:
         make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
                                 num_iters=64, tuner=HMCDATuner(d=0.65),
                                 tuner_mode="per_chain")
+        # per-chain WITH a trajectory length: per-lane l-rule, block-max loop
+        make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
+                                num_iters=64, tuner=HMCDATuner(l=0.5, d=0.65),
+                                tuner_mode="per_chain")
         with pytest.raises(ValueError, match="tuner_mode"):
             make_resident_hmc_dense(model, x, y, step=0.5, num_steps=10,
                                     num_iters=64, tuner=HMCDATuner(),

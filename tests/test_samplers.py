@@ -322,6 +322,49 @@ class TestSMC:
         expected_log_z = -y0**2 / (2 * 2.0) - 0.5 * np.log(2.0)
         assert abs(diags["log_evidence"] - expected_log_z) < 0.05
 
+    def test_adaptive_betas_same_evidence_fewer_stages(self):
+        """betas='adaptive' (ESS-bisection tempering) must reach the same
+        closed-form posterior/evidence as the fixed quartic ladder while
+        spending FEWER stages — the ladder concentrates where the path
+        bends instead of following (i/10)^4."""
+        model = _ConjugateNormal()
+        y0 = 1.0
+        data = (jnp.zeros((1, 1)), jnp.full((1, 1), y0))
+        smc = SMCSampler(model, num_particles=4096, betas="adaptive",
+                         mutation="MALA", mutation_step=0.5,
+                         num_mutation_steps=3, adaptive_target_ess=0.5)
+        state, diags = smc.run(jax.random.PRNGKey(0), data)
+        post_mean = float(SMCSampler.estimate(state)[0])
+        assert abs(post_mean - y0 / 2) < 0.05
+        expected_log_z = -y0**2 / (2 * 2.0) - 0.5 * np.log(2.0)
+        assert abs(diags["log_evidence"] - expected_log_z) < 0.05
+        # quartic default = 10 stages; this easy path needs far fewer
+        assert 1 <= diags["num_stages"] < 10
+        betas = np.asarray(diags["beta"])
+        assert betas[-1] == 1.0
+        assert np.all(np.diff(betas) > 0)
+
+    def test_adaptive_betas_hard_path_adds_stages(self):
+        """Far data makes the prior->posterior path harder: the adaptive
+        ladder must respond with more (still finite) stages and keep the
+        final weight distribution healthy."""
+        model = _ConjugateNormal()
+        data = (jnp.zeros((1, 1)), jnp.full((1, 1), 6.0))
+        easy = SMCSampler(model, num_particles=2048, betas="adaptive",
+                          mutation="MALA", mutation_step=0.5,
+                          num_mutation_steps=2)
+        hard = SMCSampler(model, num_particles=2048, betas="adaptive",
+                          mutation="MALA", mutation_step=0.5,
+                          num_mutation_steps=2)
+        _, diags_easy = easy.run(jax.random.PRNGKey(1),
+                                 (jnp.zeros((1, 1)), jnp.full((1, 1), 1.0)))
+        state, diags_hard = hard.run(jax.random.PRNGKey(1), data)
+        assert diags_hard["num_stages"] >= diags_easy["num_stages"]
+        assert diags_hard["num_stages"] < hard.max_stages
+        # posterior N(3, 1/2)
+        post_mean = float(SMCSampler.estimate(state)[0])
+        assert abs(post_mean - 3.0) < 0.1
+
     def test_resampling_triggers_and_ess_tracked(self):
         model = _ConjugateNormal()
         data = (jnp.zeros((1, 1)), jnp.full((1, 1), 6.0))  # far data -> weight collapse
