@@ -90,7 +90,10 @@ def main():
         try:
             for kern, maker in (("mh", rwd.make_resident_mh_dense),
                                 ("mala", rwd.make_resident_mala_dense)):
-                kwargs = dict(num_iters=T, num_burnin_iters=0, chain_block=8192)
+                # record_thin keeps the samples output at ~300MB (2048
+                # full-record iters x 131072 chains would be 9.7GB: OOM)
+                kwargs = dict(num_iters=T, num_burnin_iters=0, chain_block=8192,
+                              record_thin=32)
                 if kern == "mh":
                     fn = maker(model, x, y, scale=0.1, **kwargs)
                 else:

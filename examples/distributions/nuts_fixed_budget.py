@@ -1,0 +1,50 @@
+"""Fixed-budget NUTS at chain scale: static-control-flow no-u-turn
+trajectories that draw BIT-IDENTICAL samples to adaptive NUTS at the same
+max_depth, without the vmapped-while_loop lockstep penalty.
+
+Under vmap, adaptive NUTS makes every chain wait for the deepest chain's
+tree each transition (~190x slowdown at 32k chains). ``fixed_budget=True``
+executes exactly 2^max_depth - 1 leapfrogs as unrolled doublings +
+fori_loop subtrees with masked early-stopping algebra — 158x faster at 32k
+chains on TPU with per-sample ESS ratio 1.0 (benchmarks/NUTS_RESULTS.json).
+
+Run: python examples/distributions/nuts_fixed_budget.py  (CPU-friendly size)
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeyore_tpu.models import DistributionModel
+from eeyore_tpu.samplers import NUTS, sample_chains
+
+cov = np.array([[1.0, 0.8], [0.8, 1.0]])
+prec = jnp.asarray(np.linalg.inv(cov))
+model = DistributionModel(lambda t, x, y: -0.5 * t @ prec @ t, num_params=2)
+data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+
+key = jax.random.PRNGKey(0)
+theta0s = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (256, 2))
+
+adaptive = NUTS(model, step=0.4, max_depth=4)
+fixed = NUTS(model, step=0.4, max_depth=4, fixed_budget=True)
+
+rec_a = sample_chains(adaptive, key, theta0s, data, num_iters=500,
+                      num_burnin_iters=100, return_arrays=True)
+rec_f = sample_chains(fixed, key, theta0s, data, num_iters=500,
+                      num_burnin_iters=100, return_arrays=True)
+
+same = np.array_equal(np.asarray(rec_a["sample"]), np.asarray(rec_f["sample"]))
+pooled = np.asarray(rec_f["sample"], dtype=np.float64).reshape(-1, 2)
+print(f"bit-identical to adaptive NUTS: {same}")
+print(f"pooled mean: {pooled.mean(0).round(3)} (true [0, 0])")
+print(f"pooled cov diag: {pooled.var(0).round(3)} (true [1, 1])")
+print(f"mean tree depth: {np.asarray(rec_f['depth']).mean():.2f}, "
+      f"mean leapfrogs/transition: {np.asarray(rec_f['num_leapfrogs']).mean():.2f} "
+      f"(budget 15)")
+assert same
