@@ -162,7 +162,7 @@ def bench_resident_sublane(num_chains, num_iters, repeats=3):
     return best, elapsed
 
 
-def bench(num_chains=131072, num_iters=256, repeats=3):
+def bench(num_chains=131072, num_iters=256, repeats=8):
     try:
         return bench_resident(num_chains, num_iters, repeats)
     except Exception as err:

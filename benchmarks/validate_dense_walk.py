@@ -78,12 +78,14 @@ def bench_walk(num_chains=131072, num_iters=256, repeats=3):
                                           (num_chains, model.num_params),
                                           dtype=jnp.float32)
         s, f, a = fn(7, theta0s)
-        jax.block_until_ready(f)
+        jax.block_until_ready((s, f, a))
         best = 0.0
         for _ in range(repeats):
             t0 = time.perf_counter()
             s, f, a = fn(7, theta0s)
-            jax.block_until_ready(f)
+            # block on ALL outputs: blocking only on `final` once recorded a
+            # dispatch-latency artifact (411G "samples/s") at cb16384
+            jax.block_until_ready((s, f, a))
             best = max(best, num_chains * num_iters / (time.perf_counter() - t0))
         out[name] = {"samples_per_s": round(best, 1),
                      "acceptance": round(float(np.asarray(a).mean()) / num_iters, 4)}
@@ -109,12 +111,14 @@ def bench_hmc_overhead(num_chains=131072, num_iters=256, repeats=3):
                                           (num_chains, model.num_params),
                                           dtype=jnp.float32)
         s, f, a = fn(7, theta0s)
-        jax.block_until_ready(f)
+        jax.block_until_ready((s, f, a))
         best = 0.0
         for _ in range(repeats):
             t0 = time.perf_counter()
             s, f, a = fn(7, theta0s)
-            jax.block_until_ready(f)
+            # block on ALL outputs: blocking only on `final` once recorded a
+            # dispatch-latency artifact (411G "samples/s") at cb16384
+            jax.block_until_ready((s, f, a))
             best = max(best, num_chains * num_iters / (time.perf_counter() - t0))
         acc = float(np.asarray(a).mean()) / num_iters
         assert 0.2 < acc <= 1.0

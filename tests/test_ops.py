@@ -275,3 +275,46 @@ class TestResidentTemperingLayout:
                        temperature=0.5, dtype=jnp.float32)
         with pytest.raises(ValueError, match="untempered"):
             make_resident_tempering(tempered, x, y, num_rungs=4)
+
+
+class TestSincos2Pi:
+    """Polynomial sincos for the kernel PRNG's Box-Muller angles: quadrant
+    reduction is exact for uniform inputs; the Taylor tails must sit at f32
+    round-off against the transcendental reference."""
+
+    def test_accuracy_against_transcendental(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eeyore_tpu.ops.kernel_prng import sincos_2pi
+
+        u = np.linspace(2**-23, 1.0, 200001).astype(np.float32)
+        c, s = sincos_2pi(jnp.asarray(u))
+        ref_c = np.cos(2 * np.pi * u.astype(np.float64))
+        ref_s = np.sin(2 * np.pi * u.astype(np.float64))
+        assert np.max(np.abs(np.asarray(c, np.float64) - ref_c)) < 5e-7
+        assert np.max(np.abs(np.asarray(s, np.float64) - ref_s)) < 5e-7
+
+    def test_quadrant_boundaries(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eeyore_tpu.ops.kernel_prng import sincos_2pi
+
+        u = jnp.asarray([0.25, 0.5, 0.75, 1.0], jnp.float32)
+        c, s = sincos_2pi(u)
+        np.testing.assert_allclose(np.asarray(c), [0.0, -1.0, 0.0, 1.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s), [1.0, 0.0, -1.0, 0.0], atol=1e-6)
+
+    def test_unit_circle(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eeyore_tpu.ops.kernel_prng import sincos_2pi
+
+        rng = np.random.default_rng(0)
+        u = rng.random(4096).astype(np.float32)
+        u[u == 0.0] = 0.5
+        c, s = sincos_2pi(jnp.asarray(u))
+        r2 = np.asarray(c, np.float64) ** 2 + np.asarray(s, np.float64) ** 2
+        assert np.max(np.abs(r2 - 1.0)) < 1e-6
