@@ -65,7 +65,6 @@ def bench_resident(num_chains, num_iters, repeats=3):
     data-on-sublanes kernel at this shape, benchmarks/DENSE_RESULTS.json)."""
     import numpy as np
 
-    from eeyore_tpu.ops.mlp_dense import stack_chains
     from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
 
     model, kernel, schedule = build()

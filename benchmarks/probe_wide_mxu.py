@@ -74,8 +74,8 @@ def main():
     for name, mxu in (("vpu", False), ("mxu", True)):
         res = time_fn(make_resident_hmc(
             model, x, y, step=0.005, num_steps=4, num_iters=T,
-            num_burnin_iters=BURNIN, chain_block=256, stream=True,
-            mxu_layer0=mxu), P)
+            num_burnin_iters=BURNIN, chain_block=128, stream=True,
+            mxu_layer0=mxu, vmem_limit_bytes=96 * 1024 * 1024), P)
         results[name] = res
         print(json.dumps({name: res}), flush=True)
     results["mxu_speedup"] = round(

@@ -55,10 +55,11 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         stream = x_pad.shape[0] >= STREAM_MIN_ROWS
     if mxu_layer0 is None:
         # layer-0 MXU contracts over all P theta rows padded to the MXU's
-        # 128-deep K: for narrow fan-in (iris d0=4) the padding waste makes
-        # it SLOWER than the VPU schedule (15.7M vs 21.6M samples/s,
-        # benchmarks/PROBE_IRIS_MXU.json) — enable only for wide inputs
-        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
+        # 128-deep K at 6-pass f32 precision: narrow fan-in LOSES (iris d0=4:
+        # 15.7M vs 21.6M, PROBE_IRIS_MXU.json) and fan-in 64 only breaks
+        # even (PROBE_WIDE_MXU.json) — auto-enable from 128 features, where
+        # the panel is mostly real work; override per call to experiment
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 128
     if stream:
         vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
                                  prior_const, temperature, mxu_layer0=mxu_layer0,

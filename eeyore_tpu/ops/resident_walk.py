@@ -60,8 +60,8 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     if mxu_layer0 is None:
         from eeyore_tpu.ops.mlp_math import extract_arch
 
-        # see resident_hmc: MXU K-padding loses below ~16 input features
-        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
+        # see resident_hmc: MXU at HIGHEST breaks even at fan-in 64 (PROBE_WIDE_MXU)
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 128
     if stream:
         vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
                                  prior_const, temperature, with_grad=with_grad,
