@@ -199,20 +199,37 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             final_ref[p * 8:(p + 1) * 8, :] = theta[p]
         acc_ref[:, :] = acc
 
-    def fn(seed, theta0s, samples_buf=None):
+    def fn(seed, theta0s, samples_buf=None, dense_input=None):
         """``samples_buf``: optional previous samples array of the exact
-        output shape, aliased in place of a fresh 4*kept*P*C-byte HBM
-        allocation (pallas input_output_aliases). Callers running
-        back-to-back (the headline bench) pass the last call's samples and
-        jit with ``donate_argnums=(2,)`` — the per-dispatch gigabyte alloc
-        was ~half the measured launch overhead at 131072x256.
+        output shape, aliased in place of a fresh HBM allocation (pallas
+        input_output_aliases). MEASURED ~20% SLOWER than the plain dispatch
+        at the 131072x256 bench shape (XLA materializes the
+        alias-as-initial-contents copy of the 1.2GB output; bench.py notes)
+        — kept only for experimentation on other shapes; the headline bench
+        does NOT use it.
 
-        ``theta0s``: [C, P] chain-major, or the raw [P*8, C/8] dense tiles
-        (detected by shape) so repeat callers can pre-stack once."""
+        ``theta0s``: [C, P] chain-major, or (with ``dense_input=True``) the
+        raw [P*8, C/8] dense tiles so repeat callers can pre-stack once via
+        ops.mlp_dense.stack_chains. With ``dense_input=None`` the layout is
+        inferred from the shape; the ambiguous [P*8, P] case (C == 8*P
+        chain-major input has the same shape as a dense tile stack) raises
+        — pass the flag explicitly there."""
         theta0s = jnp.asarray(theta0s, dtype=jnp.float32)
-        if (theta0s.ndim == 2 and theta0s.shape[0] == P * 8
-                and theta0s.shape[1] != P):
-            # raw dense tiles (ambiguous [P*8, P] shapes read as chain-major)
+        if dense_input is None:
+            looks_dense = (theta0s.ndim == 2 and theta0s.shape[0] == P * 8
+                           and theta0s.shape[1] != P)
+            looks_chain_major = theta0s.ndim == 2 and theta0s.shape[1] == P
+            if looks_chain_major and theta0s.shape[0] == P * 8:
+                raise ValueError(
+                    f"ambiguous theta0s shape {theta0s.shape}: [P*8, P] reads "
+                    "as both chain-major and dense tiles — pass "
+                    "dense_input=True/False explicitly")
+            dense_input = looks_dense
+        if dense_input:
+            if theta0s.shape[0] != P * 8:
+                raise ValueError(
+                    f"dense_input=True needs [P*8={P * 8}, C/8] tiles, got "
+                    f"{theta0s.shape}")
             dense = theta0s
             C = theta0s.shape[1] * 8
         else:

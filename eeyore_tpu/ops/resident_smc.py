@@ -259,7 +259,8 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
             (particles, pots, log_w, log_z, _), diags = jax.lax.scan(
                 stage, (particles, pots, log_w, log_z, key_stages),
                 (jnp.asarray(betas[:-1]), jnp.asarray(betas[1:]), stage_seeds))
-            return particles, log_w, log_z, diags, jnp.int32(len(betas) - 1)
+            return (particles, log_w, log_z, diags,
+                    jnp.int32(len(betas) - 1), jnp.float32(betas[-1]))
 
         M = max_stages
         diags0 = {"beta": jnp.zeros(M, jnp.float32),
@@ -290,16 +291,25 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
             "stage": jnp.zeros((), jnp.int32), "diags": diags0,
         })
         return (out["particles"], out["log_w"], out["log_z"], out["diags"],
-                out["stage"])
+                out["stage"], out["beta"])
 
     jit_run = jax.jit(run)
 
     def runner(seed):
-        particles, log_w, log_z, diags, num_stages = jit_run(jnp.int32(seed))
+        particles, log_w, log_z, diags, num_stages, final_beta = jit_run(
+            jnp.int32(seed))
         num_stages = int(num_stages)
         diagnostics = {k: np.asarray(v)[:num_stages] for k, v in diags.items()}
         if adaptive:
             diagnostics["num_stages"] = num_stages
+            diagnostics["final_beta"] = float(final_beta)
+            if num_stages >= max_stages and float(final_beta) < 1.0:
+                import warnings
+                warnings.warn(
+                    f"adaptive resident SMC hit max_stages={max_stages} at "
+                    f"beta={float(final_beta):.6f} < 1: the anneal is "
+                    "TRUNCATED and log_evidence covers only the completed "
+                    "ladder prefix", RuntimeWarning)
         diagnostics["log_evidence"] = float(log_z)
         diagnostics["final_weight_ess"] = float(jnp.exp(log_ess(log_w)))
         return particles, log_w, diagnostics

@@ -192,6 +192,18 @@ class SamplerHarness:
         by success count: each batch starts at the current success index, so
         failed inits are retried and later entries are reached once earlier
         chains succeed; entries past the end fall back to prior draws.
+
+        RUNTIME SEMANTICS (documented divergence from the reference): the
+        reference simulates chains one at a time, so its
+        ``check_conditions(chain, runtime)`` sees each chain's own
+        wall-clock (serial_sampler.py:83-94). Here chains run in vmapped
+        batches; the ``runtime`` passed to ``check_conditions`` (and written
+        to ``runtime.txt``) is the BATCH wall-clock divided by
+        ``batch_chains`` — the amortized per-chain cost, which is the
+        honest per-chain number on a SIMD device (chains share every
+        instruction; no per-chain wall exists). Predicates ported from the
+        reference that threshold on runtime should expect values ~batch_chains
+        times smaller. Pinned by tests/test_harness.py.
         """
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)

@@ -324,16 +324,24 @@ class SMCSampler:
                 "diags": diags0,
             })
             return (out["particles"], out["log_w"], out["log_z"],
-                    out["stage"], out["diags"])
+                    out["stage"], out["beta"], out["diags"])
 
         fn = jax.jit(run_fn) if jit else run_fn
-        particles, log_w, log_z, num_stages, diags = fn(key)
+        particles, log_w, log_z, num_stages, final_beta, diags = fn(key)
         num_stages = int(num_stages)
+        final_beta = float(final_beta)
+        if num_stages >= M and final_beta < 1.0:
+            import warnings
+            warnings.warn(
+                f"adaptive SMC hit max_stages={M} at beta={final_beta:.6f} < 1: "
+                "the anneal is TRUNCATED and log_evidence covers only the "
+                "completed ladder prefix; raise max_stages or "
+                "adaptive_target_ess", RuntimeWarning)
         ess = float(jnp.exp(log_ess(log_w)))
         state = SMCState(
             particles=particles, log_weights=log_w,
             log_lik=jnp.zeros(n, dtype=particles.dtype),
-            beta=jnp.asarray(1.0, particles.dtype), ess=jnp.asarray(ess),
+            beta=jnp.asarray(final_beta, particles.dtype), ess=jnp.asarray(ess),
             unique_frac=diags["unique_frac"][num_stages - 1],
         )
         diagnostics = {k: jax.device_get(v)[:num_stages] for k, v in diags.items()}

@@ -78,6 +78,27 @@ class TestBenchmark:
         assert counts[0] == "0,succesful"
         assert counts[1] == "4,unmet_conditions"
 
+    def test_runtime_is_batch_amortized_per_chain(self, tmp_path):
+        """Pins the documented divergence from the reference: the runtime
+        passed to check_conditions (and written to runtime.txt) is the BATCH
+        wall-clock divided by batch_chains — identical for every chain of a
+        batch — not a per-chain wall (reference serial_sampler.py:83-94
+        times chains one at a time; no per-chain wall exists under vmap)."""
+        model, data = xor_mlp()
+        h = SamplerHarness(MALA(model, step=0.05), data, key=jax.random.PRNGKey(5))
+        seen = []
+
+        def conds(chain, runtime):
+            seen.append(runtime)
+            return True
+
+        h.benchmark(num_chains=4, num_epochs=50, num_burnin_epochs=10,
+                    path=tmp_path, batch_chains=4, check_conditions=conds)
+        assert len(seen) == 4
+        assert all(rt == seen[0] for rt in seen)  # one amortized number per batch
+        written = float((tmp_path / "run1" / "runtime.txt").read_text())
+        assert written == seen[0]
+
     def test_given_inits(self, tmp_path):
         model, data = xor_mlp()
         h = SamplerHarness(MALA(model, step=0.05), data, key=jax.random.PRNGKey(3))
