@@ -7,7 +7,7 @@ from eeyore_tpu.samplers.hmc import HMC, HMCState
 from eeyore_tpu.samplers.mala import MALA, MALAState
 from eeyore_tpu.samplers.mh import MetropolisHastings, MHState
 from eeyore_tpu.samplers.monitor import summarize_run
-from eeyore_tpu.samplers.nuts import NUTS, NUTSState
+from eeyore_tpu.samplers.nuts import NUTS, NUTSState, choose_max_depth
 from eeyore_tpu.samplers.population import PopulationKernel, sample_population
 from eeyore_tpu.samplers.ram import RAM, RAMState
 from eeyore_tpu.samplers.power_posterior import (

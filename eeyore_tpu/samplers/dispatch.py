@@ -1,0 +1,295 @@
+"""Kernel-backend dispatch: route the public sampling API onto the
+VMEM-resident Pallas kernels when the configuration is eligible.
+
+The reference-shaped workflow (`SamplerHarness.run/benchmark`,
+`sample_chains` — reference serial_sampler.py:35-52) historically always
+took the scanned jit(vmap(scan)) path; the 20-500x whole-loop kernels
+(ops/resident_*.py) were reachable only through their ops-level makers.
+This module closes that gap: `resolve_backend` decides, per
+(transition kernel, model, data, chain count), which engine can run the
+request, and `run_kernel_backend` executes it and re-wraps the kernel's raw
+outputs in the same stacked-arrays contract the scanned path returns.
+
+Backends:
+- ``"dense"``    — chain-tile kernels (ops/*_dense.py): chains on sublanes
+  AND lanes, data rows unrolled as constants. Needs a TPU, a full-batch
+  schedule, an extract_arch-able model (MLP/LogisticRegression with the
+  registered BCE/CE losses), data rows <= MAX_DENSE_ROWS, and a chain count
+  divisible by 1024.
+- ``"resident"`` — data-on-sublanes kernels (ops/resident_hmc.py,
+  resident_walk.py): same whole-loop structure for datasets too big to
+  unroll (iris-class). Needs chains divisible by 128.
+- ``"scan"``     — the generic jit(vmap(scan)) runner; always eligible.
+- ``"auto"``     — dense if eligible, else resident, else scan.
+
+Statistical contract: the kernel backends use the on-core PRNG
+(ops/kernel_prng.py), so draws are statistically equivalent but NOT
+bit-matched to the scanned path's jax.random streams (device moment parity:
+benchmarks/validate_resident.py / validate_dense.py). Recorded keys are
+``sample`` plus a DERIVED ``accepted`` flag (sample[t] != sample[t-1] —
+exact for the continuous-proposal samplers at record_thin=1 except the
+first kept row, which is set from the kernel's true accept count); the
+scanned path's extra state keys (target_val, grad_val) are not recorded.
+Code that needs them, or bit-reproducibility against jax.random keys,
+should pass ``backend="scan"``.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eeyore_tpu.datasets import as_schedule
+from eeyore_tpu.kernels.proposal_kernels import NormalKernel
+from eeyore_tpu.ops.mlp_dense import MAX_DENSE_ROWS
+
+BACKENDS = ("auto", "scan", "resident", "dense")
+
+_DENSE_BLOCKS = (8192, 4096, 2048, 1024)
+_RESIDENT_BLOCKS = (4096, 2048, 1024, 512, 256, 128)
+
+
+class _Plan:
+    def __init__(self, backend, maker, kwargs, chain_block, extra_outputs=0,
+                 acc_kind="counts"):
+        self.backend = backend
+        self.maker = maker
+        self.kwargs = kwargs
+        self.chain_block = chain_block
+        self.extra_outputs = extra_outputs
+        # what the kernel's third output holds: "counts" (accepted
+        # transitions, [C]), "per_block" (Gibbs sub-block counts, [C, B]),
+        # or "stat" (NUTS summed trajectory-mean Metropolis statistic)
+        self.acc_kind = acc_kind
+
+
+def _pick_block(num_chains, candidates, cap=None):
+    for cb in candidates:
+        if cap is not None and cb > cap:
+            continue
+        if num_chains % cb == 0:
+            return cb
+    return None
+
+
+def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
+                  record_thin, want_dense):
+    """Return a _Plan for the transition kernel, or a (False, reason)."""
+    from eeyore_tpu.samplers.gibbs import Gibbs
+    from eeyore_tpu.samplers.hmc import HMC
+    from eeyore_tpu.samplers.mala import MALA
+    from eeyore_tpu.samplers.mh import MetropolisHastings
+    from eeyore_tpu.samplers.nuts import NUTS
+
+    common = dict(num_iters=num_iters, num_burnin_iters=num_burnin_iters,
+                  record_thin=record_thin)
+
+    if type(kernel) is MetropolisHastings:
+        if not kernel.symmetric or not isinstance(kernel.kernel, NormalKernel):
+            return None, "kernel backends support symmetric Normal-proposal MH only"
+        scale = np.asarray(kernel.kernel.scale)
+        if scale.ndim != 0:
+            return None, "kernel backends need a scalar MH proposal scale"
+        if want_dense:
+            from eeyore_tpu.ops.resident_walk_dense import make_resident_mh_dense
+            cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            if cb is None:
+                return None, "dense MH needs chains divisible by 1024"
+            return _Plan("dense", make_resident_mh_dense,
+                         dict(scale=float(scale), chain_block=cb, **common), cb), None
+        from eeyore_tpu.ops.resident_walk import make_resident_mh
+        cb = _pick_block(num_chains, _RESIDENT_BLOCKS)
+        if cb is None:
+            return None, "resident MH needs chains divisible by 128"
+        return _Plan("resident", make_resident_mh,
+                     dict(scale=float(scale), chain_block=cb, **common), cb), None
+
+    if type(kernel) is MALA:
+        if want_dense:
+            from eeyore_tpu.ops.resident_walk_dense import make_resident_mala_dense
+            cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            if cb is None:
+                return None, "dense MALA needs chains divisible by 1024"
+            return _Plan("dense", make_resident_mala_dense,
+                         dict(step=float(kernel.step_size), chain_block=cb,
+                              **common), cb), None
+        from eeyore_tpu.ops.resident_walk import make_resident_mala
+        # the unrolled forward+backward holds [n_pad, chain_block]
+        # activations: cap the block for bigger models (validate_resident
+        # uses 4096 for the 23-param XOR MALA)
+        cb = _pick_block(num_chains, _RESIDENT_BLOCKS, cap=4096)
+        if cb is None:
+            return None, "resident MALA needs chains divisible by 128"
+        return _Plan("resident", make_resident_mala,
+                     dict(step=float(kernel.step_size), chain_block=cb,
+                          **common), cb), None
+
+    if type(kernel) is HMC:
+        hmc_kw = dict(step=float(kernel.step0), num_steps=int(kernel.num_steps0),
+                      tuner=kernel.tuner, **common)
+        if kernel.tuner is not None:
+            hmc_kw["max_num_steps"] = min(int(kernel.max_num_steps), 64)
+        if want_dense:
+            from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
+            cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            if cb is None:
+                return None, "dense HMC needs chains divisible by 1024"
+            return _Plan("dense", make_resident_hmc_dense,
+                         dict(chain_block=cb, **hmc_kw), cb), None
+        from eeyore_tpu.ops.resident_hmc import make_resident_hmc
+        # row-streaming vg register-allocates at small blocks (iris optimum
+        # 256, benchmarks/PROBE_IRIS_STREAM2.json)
+        cap = 256 if x.shape[0] >= 32 else 4096
+        cb = _pick_block(num_chains, _RESIDENT_BLOCKS, cap=cap)
+        if cb is None:
+            return None, "resident HMC needs chains divisible by 128"
+        return _Plan("resident", make_resident_hmc,
+                     dict(chain_block=cb, **hmc_kw), cb), None
+
+    if type(kernel) is NUTS:
+        if not kernel.fixed_budget:
+            return None, ("adaptive NUTS has data-dependent trees; only "
+                          "fixed_budget=True dispatches to the dense kernel")
+        if kernel.mass_adapt:
+            return None, "the dense NUTS kernel runs an identity metric only"
+        if not want_dense:
+            return None, "NUTS has a dense kernel only (no sublane variant)"
+        from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
+        cb = _pick_block(num_chains, _DENSE_BLOCKS)
+        if cb is None:
+            return None, "dense NUTS needs chains divisible by 1024"
+        return _Plan("dense", make_resident_nuts_dense,
+                     dict(step=float(kernel.step0), max_depth=kernel.max_depth,
+                          tuner=kernel.tuner, chain_block=cb, **common),
+                     cb, extra_outputs=1, acc_kind="stat"), None
+
+    if type(kernel) is Gibbs:
+        gibbs_kw = dict(scales=list(kernel.scales),
+                        node_subblock_size=kernel.node_subblock_size, **common)
+        if want_dense:
+            from eeyore_tpu.ops.resident_walk_dense import make_resident_gibbs_dense
+            cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            if cb is None:
+                return None, "dense Gibbs needs chains divisible by 1024"
+            return _Plan("dense", make_resident_gibbs_dense,
+                         dict(chain_block=cb, **gibbs_kw), cb,
+                         acc_kind="per_block"), None
+        from eeyore_tpu.ops.resident_walk import make_resident_gibbs
+        # incremental activation cache: 8 x [n_pad, chain_block] tiles
+        cb = _pick_block(num_chains, _RESIDENT_BLOCKS, cap=512)
+        if cb is None:
+            return None, "resident Gibbs needs chains divisible by 128"
+        return _Plan("resident", make_resident_gibbs,
+                     dict(chain_block=cb, **gibbs_kw), cb,
+                     acc_kind="per_block"), None
+
+    return None, f"{type(kernel).__name__} has no kernel backend"
+
+
+def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
+                    record_thin=1, backend="auto", platform=None):
+    """Decide which engine runs this request.
+
+    Returns ``(plan_or_None, reason)``: a :class:`_Plan` when a kernel
+    backend will run, else ``(None, why_scan)``. ``backend`` in
+    {"auto", "scan", "resident", "dense"}; explicit "resident"/"dense"
+    RAISE when ineligible instead of silently falling back."""
+    if backend not in BACKENDS:
+        raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
+    if backend == "scan":
+        return None, "explicit backend='scan'"
+
+    def fail(reason):
+        if backend in ("resident", "dense"):
+            raise ValueError(f"backend={backend!r} requested but ineligible: "
+                             f"{reason}")
+        return None, reason
+
+    platform = platform or jax.default_backend()
+    if platform != "tpu":
+        return fail("kernel backends need a TPU (on-core PRNG has no "
+                    f"{platform} lowering)")
+    schedule = as_schedule(data)
+    if schedule.num_batches != 1:
+        return fail("kernel backends run full-batch only")
+    x = np.asarray(schedule.x[0])
+    y = np.asarray(schedule.y[0])
+    model = kernel.model
+    try:
+        from eeyore_tpu.ops.mlp_math import extract_arch
+        extract_arch(model)
+    except (ValueError, AttributeError) as err:
+        return fail(f"model not kernel-compatible: {err}")
+
+    dense_ok = x.shape[0] <= MAX_DENSE_ROWS
+    order = []
+    if backend == "dense":
+        order = [True]
+    elif backend == "resident":
+        order = [False]
+    else:  # auto: dense first when the data fits, then sublane
+        order = ([True, False] if dense_ok else [False])
+
+    last_reason = None
+    for want_dense in order:
+        if want_dense and not dense_ok:
+            last_reason = (f"{x.shape[0]} data rows > MAX_DENSE_ROWS="
+                           f"{MAX_DENSE_ROWS}")
+            continue
+        plan, reason = _sampler_plan(kernel, x, y, num_chains, num_iters,
+                                     num_burnin_iters, record_thin, want_dense)
+        if plan is not None:
+            return plan, None
+        last_reason = reason
+    return fail(last_reason or "no eligible kernel backend")
+
+
+def _seed_from_key(key):
+    return int(jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1)))
+
+
+def run_kernel_backend(kernel, key, theta0s, data, num_iters,
+                       num_burnin_iters, plan, record_thin=1):
+    """Execute a resolved plan; returns ``(recorded, info)`` where
+    ``recorded`` matches ``sample_chains(..., return_arrays=True)``'s
+    stacked-array convention ({"sample": [C, kept, P], "accepted":
+    [C, kept]}) and ``info`` carries the kernel's exact per-chain accept
+    counts (and divergence sums for NUTS) plus the final states."""
+    schedule = as_schedule(data)
+    x = np.asarray(schedule.x[0])
+    y = np.asarray(schedule.y[0])
+    theta0s = jnp.asarray(theta0s, jnp.float32)
+
+    cache = getattr(kernel, "_backend_cache", None)
+    if cache is None:
+        cache = kernel._backend_cache = {}
+    cache_key = (plan.maker.__name__, theta0s.shape, num_iters,
+                 num_burnin_iters, record_thin, plan.chain_block)
+    if cache_key not in cache:
+        cache[cache_key] = jax.jit(plan.maker(kernel.model, x, y, **plan.kwargs))
+    fn = cache[cache_key]
+
+    out = fn(_seed_from_key(key), theta0s)
+    samples, final, acc = out[0], out[1], out[2]
+    extras = out[3:]
+
+    samples = jnp.swapaxes(samples, 0, 1)          # [C, kept, P]
+    kept = (num_iters - num_burnin_iters) // record_thin
+    # derived accepted flags: moved-vs-previous; when the kernel's acc
+    # output is a transition count (MH/MALA/HMC, record_thin=1) the first
+    # kept row takes the count's remainder so mean(accepted) == acc/kept
+    moved = jnp.any(samples[:, 1:, :] != samples[:, :-1, :], axis=-1)
+    if plan.acc_kind == "counts" and record_thin == 1:
+        first = jnp.clip(jnp.round(acc - moved.sum(axis=1)), 0, 1)
+    else:
+        first = jnp.ones(moved.shape[0], dtype=moved.dtype)
+    accepted = jnp.concatenate(
+        [first[:, None].astype(moved.dtype), moved], axis=1).astype(jnp.int32)
+
+    recorded = {"sample": samples, "accepted": accepted}
+    info = {"accept_counts": acc, "final": final, "kept": kept,
+            "backend": plan.backend}
+    if plan.extra_outputs:
+        info["divergent_sums"] = extras[0]
+    return recorded, info

@@ -67,13 +67,20 @@ class SamplerHarness:
             self.chain = ChainList(keys=self.kernel.state_keys)
 
     def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100,
-            record_thin=1):
+            record_thin=1, backend="auto"):
         """One jitted two-phase scan; epochs x batches iteration accounting.
 
         With no ``theta0`` given, the initial state is drawn from the model's
         prior (the reference's ``benchmark`` init semantics,
         serial_sampler.py:80). ``record_thin`` keeps every thin-th
         post-burn-in state.
+
+        ``backend="auto"`` routes eligible configs on TPU onto the
+        whole-loop Pallas kernels (samplers/dispatch.py; kernel-backed
+        chains record sample/accepted only, draws statistically equivalent
+        but not bit-matched); "scan" forces the reference-shaped scanned
+        path. ``verbose=True`` implies the scanned path (in-flight segment
+        reporting needs host round-trips the kernels never make).
 
         ``verbose=True`` reports in-flight progress every ``verbose_step``
         iterations (the reference's per-draw wall-clock cadence,
@@ -92,7 +99,7 @@ class SamplerHarness:
             chain, state = sample_chain(
                 self.kernel, self.key, self.theta0, self.schedule,
                 self.counter.num_iters, self.counter.num_burnin_iters,
-                return_state=True, record_thin=record_thin,
+                return_state=True, record_thin=record_thin, backend=backend,
             )
         runtime = time.perf_counter() - start
         if verbose:
@@ -178,7 +185,7 @@ class SamplerHarness:
 
     def benchmark(self, num_chains, num_epochs, num_burnin_epochs, path,
                   init=None, check_conditions=None, verbose=False,
-                  batch_chains=None, max_attempts=None):
+                  batch_chains=None, max_attempts=None, backend="auto"):
         """Simulate until ``num_chains`` chains pass ``check_conditions``.
 
         Returns the list of accepted ChainLists. Filesystem layout matches
@@ -234,6 +241,7 @@ class SamplerHarness:
                 chains = sample_chains(
                     self.kernel, key_run, theta0s, self.schedule,
                     self.counter.num_iters, self.counter.num_burnin_iters,
+                    backend=backend,
                 )
             except (RuntimeError, FloatingPointError) as err:
                 failed_errors += batch_chains

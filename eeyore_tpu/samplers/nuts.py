@@ -35,6 +35,8 @@ simultaneous negation of dtheta and both momenta, which makes the local
 checks exact for both directions.
 """
 
+import math
+
 from typing import NamedTuple
 
 import jax
@@ -82,6 +84,58 @@ class NUTSState(NamedTuple):
     wf_m2: jax.Array          # Welford sum of squared deviations
     wf_n: jax.Array           # Welford count (int32)
     tuner: DualAveragingState
+
+
+def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
+                     quantile=0.95, probe_max_depth=10, tuner=None, key=None,
+                     theta0s=None, dtype=None):
+    """Depth probe for fixed-budget NUTS: removes the hand-picked
+    ``max_depth`` footgun (the 2^max_depth - 1 static budget pays for every
+    level, so running the default 10 costs 1023 leapfrogs/transition when
+    the target only ever uses 3).
+
+    Runs ``num_warmup`` ADAPTIVE NUTS transitions over ``num_chains`` chains
+    (tuner active for the first half), then freezes
+    ``max_depth = ceil(quantile of kept tree depths)`` over the second half
+    — kept depth is Stan's treedepth (``NUTSState.depth``: discarded final
+    subtrees don't count), so the frozen budget covers ``quantile`` of the
+    trajectories the adaptive sampler actually used.
+
+    Returns ``(max_depth, tuned_step)``; feed both to
+    ``NUTS(..., max_depth=d, fixed_budget=True, step=e)`` (or
+    ``tuner=HMCDATuner(e0=e)`` to keep tuning) or to
+    ``ops.resident_nuts_dense.make_resident_nuts_dense``.
+    """
+    from eeyore_tpu.datasets import as_schedule
+    from eeyore_tpu.samplers.runner import run_fn
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    schedule = as_schedule(data)
+    burnin = num_warmup // 2
+    if tuner is None:
+        tuner = HMCDATuner(d=0.8)
+    kernel = NUTS(model, step=step, max_depth=probe_max_depth, tuner=tuner,
+                  num_burnin_iters=burnin)
+    kernel.recompute_current = schedule.num_batches != 1
+    key_init, key_run = jax.random.split(key)
+    if theta0s is None:
+        keys = jax.random.split(key_init, num_chains)
+        theta0s = jnp.stack([model.prior.sample(k) for k in keys])
+    else:
+        theta0s = jnp.asarray(theta0s)
+        num_chains = theta0s.shape[0]
+    if dtype is not None:
+        theta0s = theta0s.astype(dtype)
+    fn = jax.jit(jax.vmap(run_fn(kernel, schedule, num_warmup, burnin,
+                                 ("depth",))))
+    state, rec = fn(jax.random.split(key_run, num_chains), theta0s)
+    import numpy as np
+    depths = np.asarray(rec["depth"])        # [C, num_warmup - burnin]
+    d = int(math.ceil(float(np.quantile(depths, quantile))))
+    d = max(1, min(d, probe_max_depth))
+    tuned_step = float(np.asarray(state.step).mean())
+    return d, tuned_step
 
 
 class NUTS(HMC):

@@ -106,16 +106,47 @@ def _check_thin(num_iters, num_burnin_iters, record_thin):
 
 
 def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
-                 record_keys=None, jit=True, return_state=False, record_thin=1):
+                 record_keys=None, jit=True, return_state=False, record_thin=1,
+                 backend="auto"):
     """Run one chain; returns a ChainList of the post-burn-in states.
 
     ``num_iters`` counts ALL iterations including burn-in (the reference's
     epochs x batches), ``num_burnin_iters`` of which are discarded.
     ``record_thin`` keeps every thin-th post-burn-in state (the chain holds
     ``(num_iters - num_burnin_iters) / record_thin`` rows).
+
+    ``backend``: "auto" (default) routes eligible configs on TPU onto the
+    whole-loop Pallas kernels (samplers/dispatch.py): the kernel runs ONE
+    chain_block of chains sharing this chain's theta0 (lanes diverge through
+    the on-core PRNG) and chain 0 is returned — kernel-class per-iteration
+    wall for the price of a block. Kernel-backed chains record
+    sample/accepted only and draws are not bit-matched to jax.random; pass
+    "scan" for the generic path.
     """
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
+    if jit and backend != "scan":
+        from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
+
+        plan, _reason = resolve_backend(
+            kernel, schedule, 1024, num_iters, num_burnin_iters, record_thin,
+            backend=backend)
+        if plan is not None:
+            kernel.recompute_current = False
+            if hasattr(kernel, "num_burnin_iters"):
+                kernel.num_burnin_iters = num_burnin_iters
+            theta0 = jnp.asarray(theta0, jnp.float32)
+            theta0s = jnp.broadcast_to(theta0, (plan.chain_block,) + theta0.shape)
+            recorded, info = run_kernel_backend(
+                kernel, key, theta0s, schedule, num_iters, num_burnin_iters,
+                plan, record_thin)
+            chain = ChainList.from_arrays(
+                {k: np.asarray(v[0]) for k, v in recorded.items()})
+            if not return_state:
+                return chain
+            xb, yb = schedule.batch(0)
+            state = kernel.init(jnp.asarray(info["final"][0]), xb, yb)
+            return chain, state
     kernel.recompute_current = schedule.num_batches != 1
     if hasattr(kernel, "num_burnin_iters"):
         kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)
@@ -134,16 +165,50 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
 
 def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
                   record_keys=None, jit=True, return_state=False, return_arrays=False,
-                  record_thin=1):
+                  record_thin=1, backend="auto"):
     """Run many chains at once: vmap over (key, theta0).
 
     ``theta0s``: [num_chains, num_params]. Returns a ChainLists (or the raw
     stacked arrays {key: [num_chains, kept_iters, ...]} with
     ``return_arrays=True`` — the TPU-native path, no host conversion).
     ``record_thin`` keeps every thin-th post-burn-in state.
+
+    ``backend``: "auto" (default) routes eligible configs on TPU onto the
+    whole-loop Pallas kernels (20-500x the scanned path on the reference's
+    workloads — see samplers/dispatch.py for eligibility and the recorded-key
+    contract); "scan" forces the generic jit(vmap(scan)) path;
+    "dense"/"resident" demand a specific kernel family and raise when
+    ineligible. Kernel-backed runs record sample/accepted only and are not
+    bit-matched to the scanned path's jax.random draws.
     """
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
+    if jit and backend != "scan":
+        from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
+
+        plan, _reason = resolve_backend(
+            kernel, schedule, jnp.asarray(theta0s).shape[0], num_iters,
+            num_burnin_iters, record_thin, backend=backend)
+        if plan is not None:
+            kernel.recompute_current = False
+            if hasattr(kernel, "num_burnin_iters"):
+                kernel.num_burnin_iters = num_burnin_iters
+            recorded, info = run_kernel_backend(
+                kernel, key, theta0s, schedule, num_iters, num_burnin_iters,
+                plan, record_thin)
+            if not return_state:
+                if return_arrays:
+                    return recorded
+                return ChainLists.from_arrays(
+                    {k: np.asarray(v) for k, v in recorded.items()})
+            xb, yb = schedule.batch(0)
+            state = jax.vmap(lambda th: kernel.init(th, xb, yb))(
+                jnp.asarray(info["final"]))
+            if return_arrays:
+                return recorded, state
+            chains = ChainLists.from_arrays(
+                {k: np.asarray(v) for k, v in recorded.items()})
+            return chains, state
     kernel.recompute_current = schedule.num_batches != 1
     if hasattr(kernel, "num_burnin_iters"):
         kernel.num_burnin_iters = num_burnin_iters  # gates in-scan tuning (HMC)

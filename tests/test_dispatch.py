@@ -1,0 +1,147 @@
+"""Kernel-backend dispatch contract (samplers/dispatch.py): eligible
+configs resolve onto the resident/dense Pallas kernels, ineligible ones
+fall back to the scanned path — and the public API's backend="auto" default
+is a no-op off-TPU.
+
+The kernels themselves are TPU-only (on-core PRNG); these tests pin the
+RESOLUTION logic by passing platform="tpu" explicitly, and the fallback
+identity by running on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eeyore_tpu.models import DistributionModel, MLP, loss_functions, mlp
+from eeyore_tpu.samplers import (
+    HMC, MALA, Gibbs, MetropolisHastings, NUTS, sample_chains,
+)
+from eeyore_tpu.samplers.dispatch import resolve_backend
+from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+XOR = (jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]]),
+       jnp.asarray([[0.0], [1.0], [1.0], [0.0]]))
+
+
+def xor_model():
+    return MLP(loss=loss_functions["binary_classification"],
+               hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+
+
+def iris_like_data(n=152):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, 4))
+    y = jax.nn.one_hot(jax.random.randint(key, (n,), 0, 3), 3)
+    return x, y
+
+
+def iris_model():
+    return MLP(loss=loss_functions["multiclass_classification"],
+               hparams=mlp.Hyperparameters(dims=[4, 3, 3],
+                                           activations=[mlp.sigmoid, None]))
+
+
+class TestResolve:
+    def test_xor_samplers_resolve_dense(self):
+        model = xor_model()
+        for kernel, maker in [
+            (MetropolisHastings(model, scale=0.1), "make_resident_mh_dense"),
+            (MALA(model, step=0.01), "make_resident_mala_dense"),
+            (HMC(model, step=0.05, num_steps=10), "make_resident_hmc_dense"),
+            (Gibbs(model), "make_resident_gibbs_dense"),
+            (NUTS(model, step=0.1, max_depth=3, fixed_budget=True),
+             "make_resident_nuts_dense"),
+        ]:
+            plan, reason = resolve_backend(kernel, XOR, 8192, 256,
+                                           platform="tpu")
+            assert plan is not None, (type(kernel).__name__, reason)
+            assert plan.backend == "dense"
+            assert plan.maker.__name__ == maker
+            assert plan.chain_block == 8192
+
+    def test_large_dataset_resolves_resident(self):
+        # iris-class data: too many rows to unroll -> sublane kernels, and
+        # the streamed HMC caps its block at the measured 256 optimum
+        data = iris_like_data()
+        plan, _ = resolve_backend(HMC(iris_model(), step=0.02, num_steps=8),
+                                  data, 16384, 256, platform="tpu")
+        assert plan is not None and plan.backend == "resident"
+        assert plan.maker.__name__ == "make_resident_hmc"
+        assert plan.chain_block == 256
+        plan, _ = resolve_backend(MALA(iris_model(), step=0.01), data,
+                                  16384, 256, platform="tpu")
+        assert plan is not None and plan.backend == "resident"
+
+    def test_tuner_is_forwarded(self):
+        tuner = HMCDATuner(l=0.5)
+        kernel = HMC(xor_model(), step=0.05, num_steps=10, tuner=tuner)
+        plan, _ = resolve_backend(kernel, XOR, 1024, 256, platform="tpu")
+        assert plan is not None and plan.kwargs["tuner"] is tuner
+
+    def test_ineligible_falls_back(self):
+        model = xor_model()
+        # off-TPU
+        plan, reason = resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
+                                       platform="cpu")
+        assert plan is None and "TPU" in reason
+        # chain count not divisible
+        plan, reason = resolve_backend(HMC(model, step=0.05), XOR, 1000, 256,
+                                       platform="tpu")
+        assert plan is None and "divisible" in reason
+        # non-architecture model
+        dm = DistributionModel(lambda t, x, y: -0.5 * t @ t, num_params=2)
+        plan, reason = resolve_backend(MALA(dm, step=0.1), XOR, 8192, 256,
+                                       platform="tpu")
+        assert plan is None and "kernel-compatible" in reason
+        # adaptive NUTS has data-dependent trees
+        plan, reason = resolve_backend(NUTS(model, step=0.1, max_depth=6),
+                                       XOR, 8192, 256, platform="tpu")
+        assert plan is None and "fixed_budget" in reason
+        # asymmetric MH proposal
+        plan, reason = resolve_backend(
+            MetropolisHastings(model, symmetric=False, scale=0.1), XOR,
+            8192, 256, platform="tpu")
+        assert plan is None and "symmetric" in reason
+
+    def test_minibatch_schedule_is_scan_only(self):
+        from eeyore_tpu.datasets import BatchSchedule
+
+        x, y = XOR
+        sched = BatchSchedule(jnp.stack([x[:2], x[2:]]),
+                              jnp.stack([y[:2], y[2:]]))
+        plan, reason = resolve_backend(HMC(xor_model(), step=0.05), sched,
+                                       8192, 256, platform="tpu")
+        assert plan is None and "full-batch" in reason
+
+    def test_explicit_backend_raises_when_ineligible(self):
+        model = xor_model()
+        with pytest.raises(ValueError, match="ineligible"):
+            resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
+                            platform="cpu", backend="dense")
+        with pytest.raises(ValueError, match="ineligible"):
+            # NUTS has no sublane variant
+            resolve_backend(NUTS(model, step=0.1, fixed_budget=True), XOR,
+                            8192, 256, platform="tpu", backend="resident")
+        with pytest.raises(ValueError, match="backend"):
+            resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
+                            backend="gpu")
+
+    def test_scan_backend_never_resolves(self):
+        plan, reason = resolve_backend(HMC(xor_model(), step=0.05), XOR,
+                                       8192, 256, platform="tpu",
+                                       backend="scan")
+        assert plan is None
+
+
+class TestFallbackIdentity:
+    def test_auto_equals_scan_off_tpu(self):
+        # on CPU backend="auto" must be EXACTLY the scanned path
+        model = xor_model()
+        kernel = MALA(model, step=0.01)
+        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, model.num_params))
+        a = sample_chains(kernel, jax.random.PRNGKey(2), theta0s, XOR,
+                          num_iters=50, return_arrays=True, backend="auto")
+        b = sample_chains(kernel, jax.random.PRNGKey(2), theta0s, XOR,
+                          num_iters=50, return_arrays=True, backend="scan")
+        np.testing.assert_array_equal(np.asarray(a["sample"]),
+                                      np.asarray(b["sample"]))

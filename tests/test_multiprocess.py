@@ -28,10 +28,30 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_chains():
+def _reference_npz(tmp_path):
+    """Single-process 8-device reference outputs for the cross-process
+    tempering/SMC comparisons (tests/multiproc_cases.py configs)."""
+    import numpy as np
+
+    from eeyore_tpu.parallel.mesh import chain_mesh
+    from tests import multiproc_cases as cases
+
+    mesh = chain_mesh(axis_name="chains")
+    pp_sample = np.asarray(cases.run_pp(mesh))
+    particles, log_w, log_z = cases.run_smc(mesh)
+    path = tmp_path / "multiproc_ref.npz"
+    np.savez(path, pp_sample=pp_sample,
+             smc_particles=np.asarray(particles),
+             smc_log_w=np.asarray(log_w), smc_log_z=log_z)
+    return path
+
+
+def test_two_process_distributed_chains(tmp_path):
+    ref_path = _reference_npz(tmp_path)
     port = _free_port()
     procs = [
-        subprocess.Popen([sys.executable, str(WORKER), str(port), str(i)],
+        subprocess.Popen([sys.executable, str(WORKER), str(port), str(i),
+                          str(ref_path)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
         for i in range(2)
