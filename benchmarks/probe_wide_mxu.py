@@ -34,15 +34,15 @@ BURNIN = 256
 OUT = Path(__file__).parent / "PROBE_WIDE_MXU.json"
 
 
-def wide_model_data():
+def wide_model_data(fan_in=64):
     rng = np.random.default_rng(5)
-    x = rng.standard_normal((128, 64)).astype(np.float32)
-    w_true = rng.standard_normal((64,)) / 8.0
+    x = rng.standard_normal((128, fan_in)).astype(np.float32)
+    w_true = rng.standard_normal((fan_in,)) / 8.0
     logits = x @ w_true
     y = np.zeros((128, 2), np.float32)
     y[np.arange(128), (logits > 0).astype(int)] = 1.0
     model = MLP(loss=loss_functions["multiclass_classification"],
-                hparams=mlp.Hyperparameters(dims=[64, 8, 2],
+                hparams=mlp.Hyperparameters(dims=[fan_in, 8, 2],
                                             activations=[jax.nn.sigmoid, None]),
                 dtype=jnp.float32)
     return model, x, y
@@ -67,24 +67,45 @@ def time_fn(make_fn, P):
             "compile_plus_first_s": round(compile_s, 1)}
 
 
-def main():
-    model, x, y = wide_model_data()
+def probe_fan_in(fan_in, variants=(("vpu", False, "highest"),
+                                   ("mxu_highest", True, "highest"),
+                                   ("mxu_bf16_3pass", True, "bf16_3pass"))):
+    model, x, y = wide_model_data(fan_in)
     P = model.num_params
     results = {"P": P}
-    for name, mxu in (("vpu", False), ("mxu", True)):
+    for name, mxu, prec in variants:
         res = time_fn(make_resident_hmc(
             model, x, y, step=0.005, num_steps=4, num_iters=T,
             num_burnin_iters=BURNIN, chain_block=128, stream=True,
-            mxu_layer0=mxu, vmem_limit_bytes=96 * 1024 * 1024), P)
+            mxu_layer0=mxu, matmul_precision=prec,
+            vmem_limit_bytes=96 * 1024 * 1024), P)
         results[name] = res
-        print(json.dumps({name: res}), flush=True)
-    results["mxu_speedup"] = round(
-        results["mxu"]["samples_per_s"] / results["vpu"]["samples_per_s"], 2)
-    results["acceptance_match"] = bool(
-        abs(results["mxu"]["acceptance"] - results["vpu"]["acceptance"]) < 0.03)
-    print(json.dumps({"mxu_speedup": results["mxu_speedup"],
-                      "acceptance_match": results["acceptance_match"]}))
-    OUT.write_text(json.dumps(results, indent=2))
+        print(json.dumps({f"fan{fan_in}_{name}": res}), flush=True)
+    for name in [v[0] for v in variants[1:]]:
+        results[f"{name}_speedup"] = round(
+            results[name]["samples_per_s"] / results["vpu"]["samples_per_s"], 2)
+        results[f"{name}_acceptance_match"] = bool(
+            abs(results[name]["acceptance"]
+                - results["vpu"]["acceptance"]) < 0.03)
+    return results
+
+
+def main():
+    # --fan-ins 32,48,64 sweeps the bf16_3pass crossover (round-4 lever 5:
+    # the hi/lo 3-pass split halves the MXU-side cost, so the VPU/MXU
+    # break-even should drop from the measured 64 toward ~32)
+    fan_ins = (64,)
+    for arg in sys.argv[1:]:
+        if arg.startswith("--fan-ins="):
+            fan_ins = tuple(int(v) for v in arg.split("=", 1)[1].split(","))
+    existing = json.loads(OUT.read_text()) if OUT.exists() else {}
+    for fan_in in fan_ins:
+        existing[f"fan_in_{fan_in}"] = probe_fan_in(fan_in)
+    OUT.write_text(json.dumps(existing, indent=2))
+    print(json.dumps({k: {n: v[n + "_speedup"] for n in
+                          ("mxu_highest", "mxu_bf16_3pass")
+                          if n + "_speedup" in v}
+                      for k, v in existing.items() if k.startswith("fan_in")}))
 
 
 if __name__ == "__main__":

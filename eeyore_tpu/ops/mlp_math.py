@@ -231,9 +231,12 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
       ``G0 = sum_j xmat_j^T @ D_j`` — a [P, C] result whose nonzero rows
       are exactly the layer-0 parameters, added to the gradient directly.
 
-    ``matmul_precision``: 'highest' (full f32 passes, default) or
-    'default' (single bf16 pass — fast but rounds inputs to 8 mantissa
-    bits; validate acceptance before using).
+    ``matmul_precision``: 'highest' (full f32 accuracy, XLA's 6-bf16-pass
+    schedule, default), 'bf16_3pass' (manual hi/lo split: a = hi + lo with
+    hi = bf16(a), product = hi@hi + hi@lo + lo@hi — drops only the
+    lo@lo ~2^-16-relative term, so ~f32 accuracy at HALF the HIGHEST
+    cost), or 'default' (single bf16 pass — fast but rounds inputs to 8
+    mantissa bits; validate acceptance before using).
     """
     dims, bias, loss_kind, layer_offsets = extract_arch(model)
     num_layers = len(dims) - 1
@@ -241,8 +244,29 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
     P = model.num_params
     if n_pad % chunk_rows:
         raise ValueError(f"n_pad {n_pad} not a multiple of chunk_rows {chunk_rows}")
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}[matmul_precision]
+    if matmul_precision not in ("highest", "bf16_3pass", "default"):
+        raise ValueError(f"matmul_precision must be 'highest', 'bf16_3pass' "
+                         f"or 'default', got {matmul_precision!r}")
+    if matmul_precision == "bf16_3pass":
+        def mm(a, b, contract):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(u, v):
+                return jax.lax.dot_general(
+                    u, v, (contract, ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    else:
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT}[matmul_precision]
+
+        def mm(a, b, contract):
+            return jax.lax.dot_general(a, b, (contract, ((), ())),
+                                       precision=prec)
     if mxu_layer0:
         k1 = dims[1]
         w_off0, b_off0 = layer_offsets[0]
@@ -281,9 +305,8 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
 
         if mxu_layer0:
             xmats = premul if premul is not None else make_premul(x)
-            z0_cols = [jax.lax.dot_general(
-                xm, theta, (((1,), (0,)), ((), ())), precision=prec)
-                for xm in xmats]                          # k1 x [n_pad, C]
+            z0_cols = [mm(xm, theta, ((1,), (0,)))
+                       for xm in xmats]                   # k1 x [n_pad, C]
             delta0_store = [[] for _ in range(k1)]
 
         # static per-chunk mask knowledge: chunks fully inside the real data
@@ -398,8 +421,7 @@ def make_vg_stream(model, x_pad, y_pad, row_mask, prior_loc, prior_inv_var,
             zero_row = jnp.zeros((1, C), dtype=jnp.float32)
             for j in range(k1):
                 dj = jnp.concatenate(delta0_store[j], axis=0)  # [n_pad, C]
-                term = jax.lax.dot_general(
-                    xmats[j], dj, (((0,), (0,)), ((), ())), precision=prec)
+                term = mm(xmats[j], dj, ((0,), (0,)))
                 g0 = term if g0 is None else g0 + term
             for j in range(k1):
                 for i in range(dims[0]):

@@ -35,7 +35,7 @@ STREAM_MIN_ROWS = 32
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
                       chain_block=2048, record_thin=1, tuner=None, max_num_steps=64,
                       stream=None, vmem_limit_bytes=None, mxu_layer0=None,
-                      matmul_precision="highest"):
+                      matmul_precision="highest", l_rounding="round"):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
@@ -48,7 +48,19 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
     the block, so the leapfrog trip count never diverges between lanes);
     the last burn-in iteration freezes the averaged step, exactly as the
     reference's tuner hand-off (hmc.py:158-163).
-    """
+
+    ``l_rounding``: how the l-rule trajectory length is FROZEN at burn-in
+    end. "round" (default) is the reference's ``round(l/step)`` — but when
+    ``l/step`` lands near a half-integer, seed-to-seed tuning noise flips
+    the frozen count (7 vs 8 moved the iris config's throughput ~13%,
+    RESULTS.md). "stochastic" freezes per-chain counts by STOCHASTIC
+    rounding, ``floor(l/e) + Bernoulli(frac(l/e))``: the mean trajectory
+    length is exactly ``l`` (unbiased, unlike round), the leapfrog loop
+    runs to the block max ``ceil(l/e)`` with per-lane masking — stable
+    across seeds except at exact-integer crossings — and the per-chain
+    +-1-step spread also breaks trajectory-length resonances. During
+    burn-in the trip count stays the uniform rounded value (it re-tunes
+    every iteration anyway)."""
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
     if stream is None:
         stream = x_pad.shape[0] >= STREAM_MIN_ROWS
@@ -72,6 +84,10 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
     k_out = y_pad.shape[1]
     kept = (num_iters - num_burnin_iters) // record_thin
     step = float(step)
+    if l_rounding not in ("round", "stochastic"):
+        raise ValueError(f"l_rounding must be 'round' or 'stochastic', got "
+                         f"{l_rounding!r}")
+    stoch_l = tuner is not None and l_rounding == "stochastic"
 
     def kernel(seed_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref, ivar_ref,
                samples_ref, final_ref, acc_ref,
@@ -101,7 +117,10 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
 
         step0 = jnp.float32(step)
-        n_steps0 = jnp.int32(num_steps)
+        if stoch_l:
+            n_steps0 = jnp.full((1, chain_block), num_steps, dtype=jnp.int32)
+        else:
+            n_steps0 = jnp.int32(num_steps)
         tuner_m = jnp.log(10.0 * step0)
         barh0 = jnp.float32(0.0)
         logbare0 = jnp.float32(0.0)
@@ -114,16 +133,34 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
             # leapfrog
             p_half = mom + 0.5 * cur_step * grad
 
-            def lf_body(s, c):
-                th, pm, v, g = c
-                th = th + cur_step * pm
-                v, g = vg(th)
-                factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
-                pm = pm + factor * cur_step * g
-                return (th, pm, v, g)
+            if stoch_l:
+                # lane-divergent trip counts (post-burn-in stochastic
+                # rounding): run to the block max with per-lane masking —
+                # finished lanes get zero increments, so the recomputed
+                # value/grad stay at their trajectory end
+                def lf_body(s, c):
+                    th, pm, v, g = c
+                    stepfac = jnp.where(s < cur_n_steps, cur_step, 0.0)
+                    th = th + stepfac * pm
+                    v, g = vg(th)
+                    pmfac = jnp.where(s == cur_n_steps - 1, 0.5, 1.0) * stepfac
+                    pm = pm + pmfac * g
+                    return (th, pm, v, g)
+
+                trip = jnp.max(cur_n_steps)
+            else:
+                def lf_body(s, c):
+                    th, pm, v, g = c
+                    th = th + cur_step * pm
+                    v, g = vg(th)
+                    factor = jnp.where(s == cur_n_steps - 1, 0.5, 1.0)
+                    pm = pm + factor * cur_step * g
+                    return (th, pm, v, g)
+
+                trip = cur_n_steps
 
             th, pm, v, g = jax.lax.fori_loop(
-                0, cur_n_steps, lf_body, (theta, p_half, val, grad))
+                0, trip, lf_body, (theta, p_half, val, grad))
 
             h_prop = -v + 0.5 * jnp.sum(pm * pm, axis=0, keepdims=True)
             rates = jnp.minimum(jnp.exp(h_cur - h_prop), 1.0)
@@ -150,8 +187,22 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
                 new_logbare = e_w * loge + (1.0 - e_w) * logbare
                 last_burnin = t == num_burnin_iters - 1
                 new_step = jnp.where(last_burnin, jnp.exp(new_logbare), jnp.exp(loge))
-                new_n_steps = jnp.clip(
-                    jnp.round(tuner.l / new_step).astype(jnp.int32), 1, max_num_steps)
+                ratio = tuner.l / new_step
+                rounded = jnp.clip(jnp.round(ratio).astype(jnp.int32),
+                                   1, max_num_steps)
+                if stoch_l:
+                    # freeze by per-lane stochastic rounding (see docstring)
+                    n_lo = jnp.floor(ratio)
+                    frac = ratio - n_lo
+                    u = _uniform((1, chain_block))
+                    stoch_n = jnp.clip(
+                        n_lo.astype(jnp.int32) + (u < frac).astype(jnp.int32),
+                        1, max_num_steps)
+                    new_n_steps = jnp.where(last_burnin, stoch_n,
+                                            jnp.broadcast_to(rounded,
+                                                             (1, chain_block)))
+                else:
+                    new_n_steps = rounded
                 tune_now = t < num_burnin_iters
                 barh = jnp.where(tune_now, new_barh, barh)
                 logbare = jnp.where(tune_now, new_logbare, logbare)

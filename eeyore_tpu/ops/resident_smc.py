@@ -195,7 +195,7 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
 
     xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
 
-    def stage(carry, inputs):
+    def stage(carry, inputs, force_resample=None):
         particles, pots, log_w, log_z, key = carry
         beta_prev, beta, stage_seed = inputs
         key, key_res = jax.random.split(key)
@@ -206,9 +206,15 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
         log_z = log_z + jax.scipy.special.logsumexp(jnp.log(norm_prev) + incr)
         log_w = log_w + incr
 
-        # 2. ESS-triggered systematic resampling (gathers pots too)
+        # 2. ESS-triggered systematic resampling (gathers pots too);
+        # adaptive stages ALSO resample when the bisection's ESS constraint
+        # was binding (beta < 1) — the landed ESS sits marginally above the
+        # threshold and the pure test never fires, stalling the ladder at
+        # forced-minimum advances (samplers/smc.py _stage_core note)
         ess = jnp.exp(log_ess(log_w))
         do_resample = ess < ess_threshold * n
+        if force_resample is not None:
+            do_resample = do_resample | force_resample
         idx = systematic_resample_indices(key_res, jax.nn.softmax(log_w))
         particles = jnp.where(do_resample, particles[idx], particles)
         pots = jnp.where(do_resample, pots[idx], pots)
@@ -277,7 +283,7 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
             stage_seed = seed_val + 7919 * (c["stage"] + 1)
             (particles, pots, log_w, log_z, key), out = stage(
                 (c["particles"], c["pots"], c["log_w"], c["log_z"], c["key"]),
-                (c["beta"], beta, stage_seed))
+                (c["beta"], beta, stage_seed), force_resample=beta < 1.0)
             i = c["stage"]
             diags = {k: c["diags"][k].at[i].set(out[k]) for k in c["diags"]}
             return {"particles": particles, "pots": pots, "log_w": log_w,

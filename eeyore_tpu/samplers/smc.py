@@ -201,9 +201,18 @@ class SMCSampler:
     # ---- the annealing pass ----
 
     def _stage_core(self, key_res, key_mut, particles, log_w, log_z, pots,
-                    beta_prev, beta, x, y):
+                    beta_prev, beta, x, y, force_resample=None):
         """Reweight -> ESS-triggered systematic resample -> mutate: the body
-        shared by the fixed-schedule scan and the adaptive while_loop."""
+        shared by the fixed-schedule scan and the adaptive while_loop.
+
+        ``force_resample``: extra resample trigger from the adaptive driver
+        — when the ESS bisection's constraint was BINDING (beta < 1 chosen
+        to land ESS exactly at the target), the landed ESS sits marginally
+        above ``ess_threshold * n`` and the pure threshold test never fires,
+        so weights stay degenerate at the target and the next bisection can
+        only advance by its forced minimum (observed as stalled duplicate
+        betas). Del Moral-style adaptive tempering resamples whenever the
+        constraint binds."""
         n = log_w.shape[0]
         # 1. reweight: w *= lik^(beta - beta_prev); accumulate evidence as
         # the log mean incremental weight under the previous normalization
@@ -215,6 +224,8 @@ class SMCSampler:
         # 2. resample if ESS below threshold
         ess = jnp.exp(log_ess(log_w))
         do_resample = ess < self.ess_threshold * n
+        if force_resample is not None:
+            do_resample = do_resample | force_resample
         norm_w = jax.nn.softmax(log_w)
         idx = systematic_resample_indices(key_res, norm_w)
         particles = jnp.where(do_resample, particles[idx], particles)
@@ -298,7 +309,7 @@ class SMCSampler:
             beta = self._next_beta(log_w, pots, c["beta"])
             particles, log_w, log_z, out = self._stage_core(
                 key_res, key_mut, particles, log_w, log_z, pots,
-                c["beta"], beta, x, y)
+                c["beta"], beta, x, y, force_resample=beta < 1.0)
             i = c["stage"]
             diags = {k: c["diags"][k].at[i].set(out[k]) for k in c["diags"]}
             return {"particles": particles, "log_w": log_w, "log_z": log_z,

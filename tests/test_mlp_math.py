@@ -377,3 +377,43 @@ def test_stream_mxu_layer0_matches():
         loss=loss_functions["binary_classification"],
         hparams=lr_mod.Hyperparameters(input_size=3), dtype=jnp.float32)
     check_stream_mxu(lr, xb, yb)
+
+
+def test_stream_mxu_bf16_3pass_near_f32():
+    """The manual hi/lo bf16 3-pass matmul split (matmul_precision=
+    'bf16_3pass') must track the HIGHEST schedule to ~f32 round-off —
+    orders of magnitude tighter than a single bf16 pass ('default'),
+    at half HIGHEST's MXU cost."""
+    from eeyore_tpu.ops.mlp_math import make_vg_stream
+
+    x = RNG.normal(size=(64, 64)).astype(np.float32)
+    y = (RNG.random((64, 1)) > 0.5).astype(np.float32)
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[64, 4, 1]),
+                dtype=jnp.float32)
+    x_pad, y_pad, mask, loc, ivar, const, temp = prepare_data(model, x, y)
+    args = (jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(mask),
+            jnp.asarray(loc), jnp.asarray(ivar))
+    thetas = RNG.normal(size=(32, model.num_params)).astype(np.float32)
+
+    outs = {}
+    for mode in ("highest", "bf16_3pass"):
+        vg = make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const,
+                            temp, mxu_layer0=True, matmul_precision=mode)
+        outs[mode] = vg(jnp.asarray(thetas.T), *args)
+
+    def max_rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b) / (np.abs(b) + 1.0)))
+
+    # the hi/lo casts run on every platform (unlike the Precision hint,
+    # which CPU ignores): dropped lo@lo term + per-pass rounding over the
+    # K=265 contraction is ~1e-4 relative, vs ~1e-2 for a single bf16 pass
+    # (TPU-measured; benchmarks/probe_wide_mxu.py records both)
+    for ai, bi in zip(outs["bf16_3pass"], outs["highest"]):
+        err = max_rel(ai, bi)
+        assert 0.0 < err < 3e-4  # > 0: the split genuinely rounded
+
+    with np.testing.assert_raises(ValueError):
+        make_vg_stream(model, x_pad, y_pad, mask, loc, ivar, const, temp,
+                       matmul_precision="nope")

@@ -365,6 +365,28 @@ class TestSMC:
         post_mean = float(SMCSampler.estimate(state)[0])
         assert abs(post_mean - 3.0) < 0.1
 
+    def test_adaptive_binding_constraint_resamples_no_stall(self):
+        """When the ESS bisection's constraint binds (beta < 1), the landed
+        ESS sits marginally ABOVE the resample threshold — without the
+        forced resample the ladder stalls at duplicate 1e-6 advances
+        (observed on a concentrated target before the round-4 fix). Pin:
+        every non-final adaptive stage resamples, and consecutive betas
+        advance by real amounts."""
+        model = _ConjugateNormal()
+        data = (jnp.zeros((1, 1)), jnp.full((1, 1), 6.0))  # concentrated
+        smc = SMCSampler(model, num_particles=1024, betas="adaptive",
+                         mutation="MALA", mutation_step=0.5,
+                         num_mutation_steps=2)
+        _, diags = smc.run(jax.random.PRNGKey(2), data)
+        betas = np.asarray(diags["beta"])
+        resampled = np.asarray(diags["resampled"])
+        assert diags["num_stages"] >= 2
+        # all binding stages resample
+        assert np.all(resampled[betas < 1.0])
+        # no stalled duplicate advances
+        diffs = np.diff(np.concatenate([[0.0], betas]))
+        assert np.all(diffs > 1e-4)
+
     def test_resampling_triggers_and_ess_tracked(self):
         model = _ConjugateNormal()
         data = (jnp.zeros((1, 1)), jnp.full((1, 1), 6.0))  # far data -> weight collapse
