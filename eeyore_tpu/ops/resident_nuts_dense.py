@@ -87,7 +87,8 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
     kept = (num_iters - num_burnin_iters) // record_thin
     step = float(step)
     tile = (8, lane_block)
-    NEG_INF = jnp.float32(-jnp.inf)
+    NEG_INF = float("-inf")  # python float: a jnp scalar here would be a
+    # captured traced constant, which pallas_call rejects (CLAUDE.md note)
 
     def u01(shape):
         # [0, 1): the multinomial/merge draws need log(u) < 0 to hold for
