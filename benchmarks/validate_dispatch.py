@@ -1,0 +1,127 @@
+"""On-device check that the PUBLIC API reaches the kernel backends
+(round-4 VERDICT item 2): the reference-shaped workflow — SamplerHarness /
+sample_chains with default backend="auto" — must hit kernel-class
+throughput on the BASELINE configs and match the scanned path's statistics.
+
+Configs (same shapes as validate_resident.py so compiles hit the
+persistent cache):
+- config 1: MH mlp221/XOR, 32768 chains -> dense kernel;
+- config 3: HMC mlp433/iris, 16384 chains -> sublane resident kernel
+  (streamed vg, cb 256);
+- harness.run single chain on XOR HMC -> one dense chain_block, chain 0.
+
+Usage: python benchmarks/validate_dispatch.py
+Writes benchmarks/DISPATCH_RESULTS.json. TPU-only.
+"""
+
+import json
+import sys
+import time
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from validate_resident import (  # noqa: E402
+    mlp_model, iris_data, xor_data,
+)
+
+from eeyore_tpu.samplers import HMC, MetropolisHastings, SamplerHarness, sample_chains  # noqa: E402
+from eeyore_tpu.samplers.dispatch import resolve_backend  # noqa: E402
+
+OUT = Path(__file__).parent / "DISPATCH_RESULTS.json"
+
+
+def timed_chains(kernel, data, C, T, burnin, backend):
+    key = jax.random.PRNGKey(0)
+    theta0s = 0.1 * jax.random.normal(key, (C, kernel.model.num_params),
+                                      dtype=jnp.float32)
+    chains = sample_chains(kernel, key, theta0s, data, T, burnin,
+                           backend=backend, return_arrays=True)
+    jax.block_until_ready(chains["sample"])
+    t0 = time.perf_counter()
+    chains = sample_chains(kernel, key, theta0s, data, T, burnin,
+                           backend=backend, return_arrays=True)
+    jax.block_until_ready(chains["sample"])
+    elapsed = time.perf_counter() - t0
+    samples = np.asarray(chains["sample"][:2048], np.float64)
+    return {
+        "samples_per_s": round(C * T / elapsed, 1),
+        "pooled_mean": samples.mean(axis=(0, 1)),
+        "mean_se": samples.mean(axis=1).std(axis=0, ddof=1) / np.sqrt(2048),
+        "acceptance": round(float(np.asarray(chains["accepted"],
+                                             np.float64).mean()), 4),
+    }
+
+
+def check(tag, kernel, data, C, T, burnin, expect_backend, min_speedup):
+    plan, reason = resolve_backend(kernel, data, C, T, burnin)
+    assert plan is not None and plan.backend == expect_backend, (tag, reason)
+    auto = timed_chains(kernel, data, C, T, burnin, "auto")
+    scan = timed_chains(kernel, data, C, T, burnin, "scan")
+    diff = np.abs(auto["pooled_mean"] - scan["pooled_mean"])
+    tol = 6.0 * np.sqrt(auto["mean_se"] ** 2 + scan["mean_se"] ** 2) + 1e-3
+    out = {
+        "backend": plan.backend,
+        "chain_block": plan.chain_block,
+        "auto_sps": auto["samples_per_s"],
+        "scan_sps": scan["samples_per_s"],
+        "speedup": round(auto["samples_per_s"] / scan["samples_per_s"], 2),
+        "auto_acceptance": auto["acceptance"],
+        "scan_acceptance": scan["acceptance"],
+        "moments_match": bool(np.all(diff < tol)),
+        "acceptance_match": bool(abs(auto["acceptance"]
+                                     - scan["acceptance"]) < 0.02),
+        "kernel_class": bool(auto["samples_per_s"]
+                             > min_speedup * scan["samples_per_s"]),
+    }
+    print(json.dumps({tag: out}), flush=True)
+    return out
+
+
+def main():
+    results = {}
+    x, y = xor_data()
+    results["config1_mh_auto"] = check(
+        "config1_mh_auto", MetropolisHastings(mlp_model([2, 2, 1]), scale=0.1),
+        (x, y), 32768, 2048, 1024, "dense", 2.0)
+
+    from eeyore_tpu.models import mlp as mlp_mod
+
+    xi, yi = iris_data()
+    iris_hmc = HMC(mlp_model([4, 3, 3], loss="multiclass_classification",
+                             acts=[mlp_mod.sigmoid, None]),
+                   step=0.02, num_steps=8)
+    results["config3_hmc_auto"] = check(
+        "config3_hmc_auto", iris_hmc, (xi, yi), 16384, 2048, 1024,
+        "resident", 2.0)
+
+    # reference-shaped single-chain run(): kernel-class per-iteration wall
+    h = SamplerHarness(HMC(mlp_model([2, 2, 1]), step=0.05, num_steps=10),
+                       (x, y), theta0=0.1 * jnp.ones(9),
+                       key=jax.random.PRNGKey(1))
+    h.run(num_epochs=2048, num_burnin_epochs=1024)  # compile
+    t0 = time.perf_counter()
+    chain = h.run(num_epochs=2048, num_burnin_epochs=1024)
+    wall = time.perf_counter() - t0
+    results["harness_run_single_chain"] = {
+        "kept": len(chain),
+        "wall_s": round(wall, 4),
+        "iters_per_s": round(2048 / wall, 1),
+        "acceptance": round(float(chain.acceptance_rate()), 4),
+    }
+    print(json.dumps({"harness_run":
+                      results["harness_run_single_chain"]}), flush=True)
+    OUT.write_text(json.dumps(results, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
