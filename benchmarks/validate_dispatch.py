@@ -44,21 +44,26 @@ def timed_chains(kernel, data, C, T, burnin, backend):
     key = jax.random.PRNGKey(0)
     theta0s = 0.1 * jax.random.normal(key, (C, kernel.model.num_params),
                                       dtype=jnp.float32)
-    chains = sample_chains(kernel, key, theta0s, data, T, burnin,
-                           backend=backend, return_arrays=True)
+    # record sample+accepted only (the scanned default would also hold
+    # grad_val on-device: at 16k chains x 1024 kept x 27 params that alone
+    # is 1.8GB and OOMs next to the kernel run's buffers)
+    kw = dict(record_keys=("sample", "accepted"), return_arrays=True,
+              backend=backend)
+    chains = sample_chains(kernel, key, theta0s, data, T, burnin, **kw)
     jax.block_until_ready(chains["sample"])
+    del chains
     t0 = time.perf_counter()
-    chains = sample_chains(kernel, key, theta0s, data, T, burnin,
-                           backend=backend, return_arrays=True)
+    chains = sample_chains(kernel, key, theta0s, data, T, burnin, **kw)
     jax.block_until_ready(chains["sample"])
     elapsed = time.perf_counter() - t0
     samples = np.asarray(chains["sample"][:2048], np.float64)
+    accepted = np.asarray(chains["accepted"], np.float64)
+    del chains
     return {
         "samples_per_s": round(C * T / elapsed, 1),
         "pooled_mean": samples.mean(axis=(0, 1)),
         "mean_se": samples.mean(axis=1).std(axis=0, ddof=1) / np.sqrt(2048),
-        "acceptance": round(float(np.asarray(chains["accepted"],
-                                             np.float64).mean()), 4),
+        "acceptance": round(float(accepted.mean()), 4),
     }
 
 
