@@ -51,7 +51,7 @@ from eeyore_tpu.samplers import SMCSampler  # noqa: E402
 
 N = 16384
 MSTEPS = 5
-MUT_STEP = 0.02
+MUT_STEP = 0.05
 
 OUT_PATH = Path(__file__).parent / "SMC_HARD_RESULTS.json"
 

@@ -17,9 +17,21 @@ def binary_cross_entropy(x, y, reduction="mean"):
     """BCE on probabilities: -(log(x) y + log(1-x)(1-y)).
 
     Semantics of /root/reference/eeyore/stats/loss.py:1-10 (reduction 'mean'
-    or 'sum').
+    or 'sum'), with the 0*log(0) = 0 convention: in f32 the sigmoid
+    saturates to exactly 1.0 for z > ~17, and the naive product then emits
+    0 * log(0) = NaN for a correctly-classified point (poisoned the
+    banknotes-LR SMC potentials under prior draws). A point saturated on
+    the WRONG side still contributes -inf — a genuine zero-likelihood
+    event at f32 probability resolution — which downstream
+    logsumexp-weighted code handles (the Pallas kernels avoid both cases
+    by evaluating in z-space, ops/mlp_math.py).
     """
-    loss = -(jnp.log(x) * y + jnp.log1p(-x) * (1 - y))
+    # double-where: the untaken branch's ARGUMENT is also replaced, else its
+    # -inf primal/grad still reaches the product as 0 * inf = NaN through
+    # the where cotangent (the standard jnp.where-NaN-grad pitfall)
+    x_pos = jnp.where(y > 0, x, 1.0)
+    x_neg = jnp.where(y < 1, x, 0.0)
+    loss = -(y * jnp.log(x_pos) + (1 - y) * jnp.log1p(-x_neg))
     if reduction == "mean":
         return jnp.mean(loss)
     elif reduction == "sum":

@@ -278,3 +278,25 @@ class TestPredictivePosterior:
         integral2, dropped2 = model.predictive_posterior(bad, jnp.asarray(x[:1]), jnp.asarray(y[:1]))
         assert dropped2 == 1
         assert not np.isnan(float(integral2))
+
+
+def test_bce_saturated_probabilities_no_nan():
+    """f32 sigmoids saturate to exactly 0/1 for |z| > ~17; the BCE loss must
+    follow the 0*log(0) = 0 convention there (finite loss + finite grad for
+    correctly-classified saturated points; -inf only for a genuinely
+    impossible wrong-side saturation). Poisoned the banknotes-LR SMC
+    potentials under prior draws before the round-4 fix."""
+    from eeyore_tpu.models.losses import binary_cross_entropy
+
+    f = lambda x: binary_cross_entropy(x, jnp.asarray([1.0, 0.0]),
+                                       reduction="sum")
+    x_correct = jnp.asarray([1.0, 0.0])
+    assert float(f(x_correct)) == 0.0
+    assert np.all(np.isfinite(np.asarray(jax.grad(f)(x_correct))))
+    x_wrong = jnp.asarray([0.0, 1.0])
+    assert np.isinf(float(f(x_wrong)))
+    # interior values keep the reference formula exactly
+    xi = jnp.asarray([0.3, 0.8])
+    yi = jnp.asarray([1.0, 0.0])
+    naive = float(-(jnp.log(xi) * yi + jnp.log1p(-xi) * (1 - yi)).sum())
+    assert abs(float(binary_cross_entropy(xi, yi, "sum")) - naive) < 1e-12
