@@ -35,7 +35,7 @@ STREAM_MIN_ROWS = 32
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
                       chain_block=2048, record_thin=1, tuner=None, max_num_steps=64,
                       stream=None, vmem_limit_bytes=None, mxu_layer0=None,
-                      matmul_precision="highest", l_rounding="round"):
+                      matmul_precision=None, l_rounding="round"):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
@@ -66,11 +66,15 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         stream = x_pad.shape[0] >= STREAM_MIN_ROWS
     if mxu_layer0 is None:
         # layer-0 MXU contracts over all P theta rows padded to the MXU's
-        # 128-deep K at 6-pass f32 precision: narrow fan-in LOSES (iris d0=4:
-        # 15.7M vs 21.6M, PROBE_IRIS_MXU.json) and fan-in 64 only breaks
-        # even (PROBE_WIDE_MXU.json) — auto-enable from 128 features, where
-        # the panel is mostly real work; override per call to experiment
-        mxu_layer0 = stream and extract_arch(model)[0][0] >= 128
+        # 128-deep K. At HIGHEST (6 bf16 passes) narrow fan-in LOSES (iris
+        # d0=4: 15.7M vs 21.6M, PROBE_IRIS_MXU.json; break-even at 64). The
+        # round-4 bf16_3pass hi/lo split (half the passes, ~1e-4 rel error)
+        # moves the crossover below 16: 1.22x at fan-in 16, 1.41x at 32,
+        # 1.74x at 64 at matching acceptance (PROBE_WIDE_MXU.json) —
+        # auto-enable from 16 features WITH bf16_3pass; iris stays VPU.
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
+    if matmul_precision is None:
+        matmul_precision = "bf16_3pass" if mxu_layer0 else "highest"
     if stream:
         vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
                                  prior_const, temperature, mxu_layer0=mxu_layer0,

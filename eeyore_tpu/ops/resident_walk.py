@@ -60,12 +60,17 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
     if mxu_layer0 is None:
         from eeyore_tpu.ops.mlp_math import extract_arch
 
-        # see resident_hmc: MXU at HIGHEST breaks even at fan-in 64 (PROBE_WIDE_MXU)
-        mxu_layer0 = stream and extract_arch(model)[0][0] >= 128
+        # bf16_3pass (round 4) wins from fan-in 16 up: 1.22x at 16, 1.41x
+        # at 32, 1.74x at 64 over the VPU schedule at matching acceptance
+        # (PROBE_WIDE_MXU.json); HIGHEST only broke even at 64. Iris
+        # (fan-in 4) still loses to K padding — threshold 16.
+        mxu_layer0 = stream and extract_arch(model)[0][0] >= 16
     if stream:
         vg_math = make_vg_stream(model, x_pad, y_pad, row_mask, loc, ivar,
                                  prior_const, temperature, with_grad=with_grad,
-                                 mxu_layer0=mxu_layer0)
+                                 mxu_layer0=mxu_layer0,
+                                 matmul_precision="bf16_3pass" if mxu_layer0
+                                 else "highest")
     else:
         vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
                           temperature, with_grad=with_grad)
