@@ -161,6 +161,7 @@ def iris_stability(seeds=(3, 5, 7, 11, 13), C=8192, T=1536, BURN=512):
     import time
 
     from validate_resident import iris_data
+    from eeyore_tpu.models import mlp
     from eeyore_tpu.ops.resident_hmc import make_resident_hmc
 
     model = mlp_model([4, 3, 3], loss="multiclass_classification",
@@ -173,7 +174,8 @@ def iris_stability(seeds=(3, 5, 7, 11, 13), C=8192, T=1536, BURN=512):
             model, xn, yn, step=0.02, num_steps=8, num_iters=T,
             num_burnin_iters=BURN, chain_block=256,
             tuner=HMCDATuner(l=0.15, e0=0.02, d=0.65), l_rounding=mode))
-        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, 9),
+        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                          (C, model.num_params),
                                           dtype=jnp.float32)
         _, final, _ = fn(seeds[0], theta0s)
         jax.block_until_ready(final)
