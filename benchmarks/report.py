@@ -299,9 +299,11 @@ def resident_section():
            "bench.py headline (dense chain-tile HMC, mlp221/XOR, 131072 chains,",
            "record every sample): ~483M samples/s on one v5e chip, ~4.2e6x the",
            "reference CPU. In-kernel population dual averaging (north-star iris",
-           "config, sublane layout): 26.4M samples/s, 1.20M ESS/s at move rate",
-           "0.64 (tuned trajectory length is stochastic: a 7 vs 8 step tune",
-           "moves throughput ~13%)."]
+           "config, sublane layout, round-4 re-measure): 45.8M samples/s at",
+           "acceptance 0.64, 5-seed spread 0.75% (DENSE_RESULTS.json",
+           "iris_tuned_stability); l_rounding='stochastic' guarantees the",
+           "stability structurally (wall = ceil(l/e)) at ~1.2x fewer",
+           "samples/s when round() would pick the lower integer."]
     return md
 
 

@@ -35,9 +35,10 @@ from eeyore_tpu.samplers import HMC  # noqa: E402
 from eeyore_tpu.samplers.runner import run_fn  # noqa: E402
 from eeyore_tpu.datasets import BatchSchedule  # noqa: E402
 
-C = 512
-T = 512
+C = 256          # recorded samples are C x kept x 12730 f32: keep the
+T = 512          # footprint ~0.8GB per path (512 chains OOM'd the HBM)
 BURNIN = 256
+THIN = 2
 STEP = 0.002
 NUM_STEPS = 4
 N_ROWS = 128
@@ -62,7 +63,7 @@ def run_resident(model, x, y, precision, chain_block=128):
     fn = jax.jit(make_resident_hmc(
         model, x, y, step=STEP, num_steps=NUM_STEPS, num_iters=T,
         num_burnin_iters=BURNIN, chain_block=chain_block, stream=True,
-        mxu_layer0=True, matmul_precision=precision,
+        mxu_layer0=True, matmul_precision=precision, record_thin=THIN,
         vmem_limit_bytes=100 * 1024 * 1024))
     theta0s = 0.02 * jax.random.normal(jax.random.PRNGKey(0),
                                        (C, model.num_params), jnp.float32)
@@ -93,7 +94,7 @@ def run_scanned(model, x, y):
     kern = HMC(model, step=STEP, num_steps=NUM_STEPS)
     kern.recompute_current = False
     fn = jax.jit(jax.vmap(run_fn(kern, schedule, T, BURNIN,
-                                 ("sample", "accepted"))))
+                                 ("sample", "accepted"), record_thin=THIN)))
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, C)
     theta0s = 0.02 * jax.random.normal(key, (C, model.num_params), jnp.float32)
