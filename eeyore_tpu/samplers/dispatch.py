@@ -48,6 +48,7 @@ BACKENDS = ("auto", "scan", "resident", "dense")
 
 _DENSE_BLOCKS = (8192, 4096, 2048, 1024)
 _RESIDENT_BLOCKS = (4096, 2048, 1024, 512, 256, 128)
+MAX_DISPATCH_PARAMS = 256
 
 
 class _Plan:
@@ -221,6 +222,16 @@ def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
         extract_arch(model)
     except (ValueError, AttributeError) as err:
         return fail(f"model not kernel-compatible: {err}")
+    if model.num_params > MAX_DISPATCH_PARAMS:
+        # whole-loop residency is a small-state design: loop-carried
+        # [P, lanes] values spill past the 128MB VMEM at large P (measured
+        # boundary: P=594 works at cb128 with a raised vmem limit, P=12730
+        # spills 202MB — benchmarks/WIDE_MODEL_RESULTS.json). Auto-dispatch
+        # stays in the regime validated with default limits; larger models
+        # use the ops makers with explicit chain_block/vmem_limit_bytes.
+        return fail(f"{model.num_params} params > MAX_DISPATCH_PARAMS="
+                    f"{MAX_DISPATCH_PARAMS} (whole-loop residency is for "
+                    "small-state models; use the ops-level makers)")
 
     dense_ok = x.shape[0] <= MAX_DENSE_ROWS
     order = []

@@ -145,3 +145,19 @@ class TestFallbackIdentity:
                           num_iters=50, return_arrays=True, backend="scan")
         np.testing.assert_array_equal(np.asarray(a["sample"]),
                                       np.asarray(b["sample"]))
+
+
+class TestParamGate:
+    def test_large_models_stay_scanned(self):
+        """Whole-loop residency is a small-state design: auto-dispatch must
+        reject large-P models (measured boundary: P=12730 spills 202MB of
+        register slots, benchmarks/WIDE_MODEL_RESULTS.json)."""
+        wide = MLP(loss=loss_functions["multiclass_classification"],
+                   hparams=mlp.Hyperparameters(dims=[64, 8, 2],
+                                               activations=[mlp.sigmoid, None]))
+        assert wide.num_params > 256
+        x = jnp.zeros((16, 64))
+        y = jnp.zeros((16, 2)).at[:, 0].set(1.0)
+        plan, reason = resolve_backend(HMC(wide, step=0.01), (x, y),
+                                       8192, 256, platform="tpu")
+        assert plan is None and "MAX_DISPATCH_PARAMS" in reason
