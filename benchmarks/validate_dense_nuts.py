@@ -137,6 +137,9 @@ def sweep_chain_block(num_chains=C, num_iters=512):
 
 
 def main():
+    if "--iris" in sys.argv:
+        iris_case()
+        return
     results = {}
     if "--sweep" in sys.argv:
         results["chain_block_sweep"] = sweep_chain_block()
@@ -157,6 +160,68 @@ def main():
     if out_path.exists():
         existing = json.loads(out_path.read_text())
     existing.update(results)
+    out_path.write_text(json.dumps(existing, indent=2, default=str) + "\n")
+
+
+def iris_case(num_chains=16384, num_iters=T, burnin=BURNIN):
+    """Round-4 extension: the SUBLANE resident fixed-budget NUTS
+    (ops/resident_nuts.py, streamed vg) on iris mlp433 vs the scanned
+    fixed-budget form — NUTS at kernel rates for datasets too big to
+    unroll densely."""
+    from validate_resident import iris_data
+    from eeyore_tpu.models import mlp as mlp_mod
+    from eeyore_tpu.ops.resident_nuts import make_resident_nuts
+
+    model = mlp_model([4, 3, 3], loss="multiclass_classification",
+                      acts=[mlp_mod.sigmoid, None])
+    xi, yi = iris_data()
+    xn, yn = np.asarray(xi), np.asarray(yi)
+    step = 0.02
+
+    fn = jax.jit(make_resident_nuts(
+        model, xn, yn, step=step, max_depth=MAX_DEPTH, num_iters=num_iters,
+        num_burnin_iters=burnin, chain_block=256, tuner=HMCDATuner(d=0.8)))
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (num_chains, model.num_params),
+                                      dtype=jnp.float32)
+    samples, final, acc, div = fn(7, theta0s)
+    jax.block_until_ready(final)
+    t0 = time.perf_counter()
+    samples, final, acc, div = fn(7, theta0s)
+    jax.block_until_ready(final)
+    elapsed = time.perf_counter() - t0
+    sub = np.asarray(samples[:, :MOMENT_CHAINS, :], np.float64)
+    sub = np.swapaxes(sub, 0, 1)
+    kept = num_iters - burnin
+    res = summarize(sub, float(np.asarray(acc).mean()) / kept, elapsed,
+                    num_chains, num_iters)
+    res["divergence_rate"] = float(np.asarray(div).mean()) / kept
+
+    # scanned fixed-budget comparator
+    schedule = BatchSchedule.full_batch(xi, yi)
+    kernel = NUTS(model, step=step, max_depth=MAX_DEPTH, fixed_budget=True,
+                  tuner=HMCDATuner(d=0.8), num_burnin_iters=burnin)
+    kernel.recompute_current = False
+    sfn = jax.jit(jax.vmap(run_fn(kernel, schedule, num_iters, burnin,
+                                  ("sample", "accept_stat", "divergent"))))
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, num_chains)
+    state, rec = sfn(keys, theta0s)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, rec = sfn(keys, theta0s)
+    jax.block_until_ready(state)
+    s_elapsed = time.perf_counter() - t0
+    ssub = np.asarray(rec["sample"][:MOMENT_CHAINS], np.float64)
+    scan = summarize(ssub, float(np.asarray(rec["accept_stat"],
+                                            np.float64).mean()),
+                     s_elapsed, num_chains, num_iters)
+    scan["divergence_rate"] = float(np.asarray(rec["divergent"]).mean())
+
+    out = compare("nuts_fixed_d3_mlp433_iris_16k", res, scan)
+    out_path = Path(__file__).parent / "DENSE_NUTS_RESULTS.json"
+    existing = json.loads(out_path.read_text()) if out_path.exists() else {}
+    existing["iris_sublane"] = out
     out_path.write_text(json.dumps(existing, indent=2, default=str) + "\n")
 
 

@@ -128,5 +128,46 @@ def main():
     OUT.write_text(json.dumps(results, indent=2) + "\n")
 
 
+def tempering_check():
+    """Round-4 follow-up: PowerPosteriorSampler.run with backend='auto'
+    routes even/odd ladders onto the whole-ladder resident kernel; compare
+    cold-chain moments + wall against the scanned population path."""
+    from eeyore_tpu.samplers import PowerPosteriorSampler
+
+    x, y = xor_data()
+    results = {}
+    for tag, backend in (("auto", "auto"), ("scan", "scan")):
+        pp = PowerPosteriorSampler(mlp_model([2, 2, 1]), num_chains=8,
+                                   sampler="MALA",
+                                   sampler_kwargs={"step": 0.05},
+                                   between_step=10, swap_scheme="even_odd")
+        key = jax.random.PRNGKey(0)
+        theta0 = 0.1 * jnp.ones(9)
+        chains = pp.run(key, theta0, (x, y), 2048, 1024, backend=backend)
+        t0 = time.perf_counter()
+        chains = pp.run(key, theta0, (x, y), 2048, 1024, backend=backend)
+        wall = time.perf_counter() - t0
+        cold = np.asarray(chains.get_chain(7, key="sample"), np.float64)
+        results[tag] = {"wall_s": round(wall, 4),
+                        "ladder_iters_per_s": round(2048 / wall, 1),
+                        "cold_mean_norm": round(float(np.linalg.norm(cold.mean(0))), 4),
+                        "cold_var_mean": round(float(cold.var(0).mean()), 4)}
+        print(json.dumps({f"tempering_{tag}": results[tag]}), flush=True)
+    results["speedup"] = round(results["auto"]["ladder_iters_per_s"]
+                               / results["scan"]["ladder_iters_per_s"], 2)
+    # cold-chain second moments agree loosely (different PRNG, 1 ladder of
+    # 1024 kept draws each)
+    results["var_ratio"] = round(results["auto"]["cold_var_mean"]
+                                 / max(results["scan"]["cold_var_mean"], 1e-9), 3)
+    print(json.dumps({"tempering_speedup": results["speedup"],
+                      "var_ratio": results["var_ratio"]}), flush=True)
+    existing = json.loads(OUT.read_text()) if OUT.exists() else {}
+    existing["tempering_dispatch"] = results
+    OUT.write_text(json.dumps(existing, indent=2) + "\n")
+
+
 if __name__ == "__main__":
-    main()
+    if "--tempering" in sys.argv:
+        tempering_check()
+    else:
+        main()

@@ -153,16 +153,25 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
             return None, ("adaptive NUTS has data-dependent trees; only "
                           "fixed_budget=True dispatches to the dense kernel")
         if kernel.mass_adapt:
-            return None, "the dense NUTS kernel runs an identity metric only"
-        if not want_dense:
-            return None, "NUTS has a dense kernel only (no sublane variant)"
-        from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
-        cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            return None, "the resident NUTS kernels run an identity metric only"
+        nuts_kw = dict(step=float(kernel.step0), max_depth=kernel.max_depth,
+                       tuner=kernel.tuner, **common)
+        if want_dense:
+            from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
+            cb = _pick_block(num_chains, _DENSE_BLOCKS)
+            if cb is None:
+                return None, "dense NUTS needs chains divisible by 1024"
+            return _Plan("dense", make_resident_nuts_dense,
+                         dict(chain_block=cb, **nuts_kw),
+                         cb, extra_outputs=1, acc_kind="stat"), None
+        from eeyore_tpu.ops.resident_nuts import make_resident_nuts
+        # streamed-vg block cap, as for resident HMC
+        cap = 256 if x.shape[0] >= 32 else 4096
+        cb = _pick_block(num_chains, _RESIDENT_BLOCKS, cap=cap)
         if cb is None:
-            return None, "dense NUTS needs chains divisible by 1024"
-        return _Plan("dense", make_resident_nuts_dense,
-                     dict(step=float(kernel.step0), max_depth=kernel.max_depth,
-                          tuner=kernel.tuner, chain_block=cb, **common),
+            return None, "resident NUTS needs chains divisible by 128"
+        return _Plan("resident", make_resident_nuts,
+                     dict(chain_block=cb, **nuts_kw),
                      cb, extra_outputs=1, acc_kind="stat"), None
 
     if type(kernel) is Gibbs:
@@ -304,3 +313,120 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
     if plan.extra_outputs:
         info["divergent_sums"] = extras[0]
     return recorded, info
+
+
+# ----------------------------------------------------------------------
+# Tempering-ladder dispatch (PowerPosteriorSampler.run -> resident kernels)
+# ----------------------------------------------------------------------
+
+def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
+                      record_thin=1, backend="auto", platform=None):
+    """Dispatch decision for a power-posterior ladder run: the whole-ladder
+    resident kernels (ops/resident_tempering{_dense}.py) run even/odd swap
+    parallel tempering with MALA/MH within-moves — the reference's ladder
+    sampler pair (power_posterior_sampler.py:68-82). Categorical swaps (the
+    reference's default scheme) keep the scanned path: their serial
+    single-pair draws don't vectorize into lane shuffles."""
+    if backend not in BACKENDS:
+        raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
+    if backend == "scan":
+        return None, "explicit backend='scan'"
+
+    def fail(reason):
+        if backend in ("resident", "dense"):
+            raise ValueError(f"backend={backend!r} requested but ineligible: "
+                             f"{reason}")
+        return None, reason
+
+    platform = platform or jax.default_backend()
+    if platform != "tpu":
+        return fail("kernel backends need a TPU")
+    schedule = as_schedule(data)
+    if schedule.num_batches != 1:
+        return fail("kernel backends run full-batch only")
+    if pp.swap_scheme != "even_odd":
+        return fail("resident tempering implements even/odd swaps; "
+                    "categorical stays scanned")
+    if pp.sampler not in ("MALA", "MetropolisHastings"):
+        return fail(f"ladder sampler {pp.sampler!r} has no kernel")
+    extra = set(pp.sampler_kwargs) - {"step", "scale"}
+    if extra:
+        return fail(f"sampler_kwargs {sorted(extra)} not kernel-mappable")
+    x = np.asarray(schedule.x[0])
+    model = pp.model
+    try:
+        from eeyore_tpu.ops.mlp_math import extract_arch
+        extract_arch(model)
+    except (ValueError, AttributeError) as err:
+        return fail(f"model not kernel-compatible: {err}")
+    if model.num_params > MAX_DISPATCH_PARAMS:
+        return fail(f"{model.num_params} params > MAX_DISPATCH_PARAMS="
+                    f"{MAX_DISPATCH_PARAMS}")
+
+    L = int(pp.num_chains)
+    step = float(pp.sampler_kwargs.get(
+        "step", pp.sampler_kwargs.get("scale", 0.1)))
+    kw = dict(num_rungs=L, step=step, sampler=pp.sampler,
+              temperatures=np.asarray(pp.temperatures, np.float64),
+              between_step=pp.between_step, num_iters=num_iters,
+              num_burnin_iters=num_burnin_iters, record_thin=record_thin)
+
+    dense_ok = x.shape[0] <= MAX_DENSE_ROWS and backend in ("auto", "dense")
+    if dense_ok:
+        # smallest dense block that holds whole ladders
+        for cb in sorted(_DENSE_BLOCKS):
+            if cb % L == 0:
+                from eeyore_tpu.ops.resident_tempering_dense import (
+                    make_resident_tempering_dense,
+                )
+                return _Plan("dense", make_resident_tempering_dense,
+                             dict(chain_block=cb, **kw), cb,
+                             acc_kind="per_block"), None
+    if backend in ("auto", "resident"):
+        for cb in sorted(_RESIDENT_BLOCKS):
+            if cb % L == 0:
+                from eeyore_tpu.ops.resident_tempering import (
+                    make_resident_tempering,
+                )
+                return _Plan("resident", make_resident_tempering,
+                             dict(chain_block=cb, **kw), cb,
+                             acc_kind="per_block"), None
+    return fail(f"no kernel block divisible by the {L}-rung ladder")
+
+
+def run_tempering_backend(pp, key, theta0, data, num_iters,
+                          num_burnin_iters, plan, record_thin=1):
+    """Execute a resolved tempering plan for ONE logical ladder: the kernel
+    runs chain_block lanes (chain_block / num_rungs ladders diverging
+    through the on-core PRNG) and ladder 0's rungs are returned, coldest
+    chain last — pp.run's layout."""
+    from eeyore_tpu.chains import ChainLists
+
+    schedule = as_schedule(data)
+    x = np.asarray(schedule.x[0])
+    y = np.asarray(schedule.y[0])
+    L = int(pp.num_chains)
+
+    cache = getattr(pp, "_backend_cache", None)
+    if cache is None:
+        cache = pp._backend_cache = {}
+    cache_key = (plan.maker.__name__, num_iters, num_burnin_iters,
+                 record_thin, plan.chain_block)
+    if cache_key not in cache:
+        cache[cache_key] = jax.jit(plan.maker(pp.model, x, y, **plan.kwargs))
+    fn = cache[cache_key]
+
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    if theta0.ndim == 1:
+        theta0s = jnp.broadcast_to(theta0, (plan.chain_block,) + theta0.shape)
+    else:  # [L, P] per-rung inits, tiled across the block's ladders
+        theta0s = jnp.tile(theta0, (plan.chain_block // L, 1))
+    samples, final, counts = fn(_seed_from_key(key), theta0s)
+
+    ladder0 = jnp.swapaxes(samples[:, :L, :], 0, 1)   # [L, kept, P]
+    moved = jnp.any(ladder0[:, 1:, :] != ladder0[:, :-1, :], axis=-1)
+    accepted = jnp.concatenate(
+        [jnp.ones((L, 1), dtype=moved.dtype), moved], axis=1).astype(jnp.int32)
+    chains = ChainLists.from_arrays({"sample": np.asarray(ladder0),
+                                     "accepted": np.asarray(accepted)})
+    return chains

@@ -231,8 +231,27 @@ class PowerPosteriorSampler(PopulationKernel):
         info = {k: getattr(inner, k) for k in self.state_keys}
         return new_state, info
 
-    def run(self, key, theta0, data, num_iters, num_burnin_iters=0, record_keys=None, jit=True):
+    def run(self, key, theta0, data, num_iters, num_burnin_iters=0,
+            record_keys=None, jit=True, backend="auto"):
         """Run the ladder; returns ChainLists with one chain per rung (the
-        coldest chain last, as in the reference)."""
+        coldest chain last, as in the reference).
+
+        ``backend="auto"`` (default) routes eligible even/odd-swap ladders
+        on TPU onto the whole-ladder resident kernels
+        (ops/resident_tempering{_dense}.py — samplers/dispatch.py
+        resolve_tempering documents eligibility and the recorded-key
+        contract); categorical-swap ladders and everything off-TPU run the
+        scanned path, forced with "scan"."""
+        if jit and backend != "scan":
+            from eeyore_tpu.samplers.dispatch import (
+                resolve_tempering, run_tempering_backend,
+            )
+
+            plan, _reason = resolve_tempering(
+                self, data, num_iters, num_burnin_iters, backend=backend)
+            if plan is not None:
+                return run_tempering_backend(
+                    self, key, theta0, data, num_iters, num_burnin_iters,
+                    plan)
         return sample_population(self, key, theta0, data, num_iters, num_burnin_iters,
                                  record_keys=record_keys, jit=jit)

@@ -118,10 +118,16 @@ class TestResolve:
         with pytest.raises(ValueError, match="ineligible"):
             resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
                             platform="cpu", backend="dense")
+        # round 4: NUTS gained a sublane variant — explicit "resident" now
+        # resolves instead of raising
+        plan, _ = resolve_backend(NUTS(model, step=0.1, fixed_budget=True),
+                                  XOR, 8192, 256, platform="tpu",
+                                  backend="resident")
+        assert plan is not None and plan.maker.__name__ == "make_resident_nuts"
         with pytest.raises(ValueError, match="ineligible"):
-            # NUTS has no sublane variant
-            resolve_backend(NUTS(model, step=0.1, fixed_budget=True), XOR,
-                            8192, 256, platform="tpu", backend="resident")
+            # but adaptive NUTS still has no kernel anywhere
+            resolve_backend(NUTS(model, step=0.1), XOR, 8192, 256,
+                            platform="tpu", backend="resident")
         with pytest.raises(ValueError, match="backend"):
             resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
                             backend="gpu")
@@ -161,3 +167,45 @@ class TestParamGate:
         plan, reason = resolve_backend(HMC(wide, step=0.01), (x, y),
                                        8192, 256, platform="tpu")
         assert plan is None and "MAX_DISPATCH_PARAMS" in reason
+
+
+class TestTemperingDispatch:
+    def test_even_odd_ladder_resolves(self):
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+        from eeyore_tpu.samplers.dispatch import resolve_tempering
+
+        pp = PowerPosteriorSampler(xor_model(), num_chains=8, sampler="MALA",
+                                   sampler_kwargs={"step": 0.05},
+                                   between_step=5, swap_scheme="even_odd")
+        plan, reason = resolve_tempering(pp, XOR, 256, 64, platform="tpu")
+        assert plan is not None, reason
+        assert plan.backend == "dense"
+        assert plan.maker.__name__ == "make_resident_tempering_dense"
+        assert plan.chain_block % 8 == 0
+        assert plan.kwargs["num_rungs"] == 8
+        assert plan.kwargs["between_step"] == 5
+
+    def test_categorical_and_cpu_stay_scanned(self):
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+        from eeyore_tpu.samplers.dispatch import resolve_tempering
+
+        cat = PowerPosteriorSampler(xor_model(), num_chains=8, sampler="MALA",
+                                    swap_scheme="categorical")
+        plan, reason = resolve_tempering(cat, XOR, 256, 64, platform="tpu")
+        assert plan is None and "categorical" in reason
+        eo = PowerPosteriorSampler(xor_model(), num_chains=8, sampler="MALA",
+                                   swap_scheme="even_odd")
+        plan, reason = resolve_tempering(eo, XOR, 256, 64, platform="cpu")
+        assert plan is None and "TPU" in reason
+
+    def test_run_auto_equals_scan_off_tpu(self):
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+
+        pp = PowerPosteriorSampler(xor_model(), num_chains=4, sampler="MALA",
+                                   sampler_kwargs={"step": 0.05},
+                                   swap_scheme="even_odd")
+        a = pp.run(jax.random.PRNGKey(0), 0.1 * jnp.ones(9), XOR, 60, 20)
+        b = pp.run(jax.random.PRNGKey(0), 0.1 * jnp.ones(9), XOR, 60, 20,
+                   backend="scan")
+        np.testing.assert_array_equal(np.asarray(a.get_chain(3, key="sample")),
+                                      np.asarray(b.get_chain(3, key="sample")))
