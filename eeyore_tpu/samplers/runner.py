@@ -195,7 +195,9 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
                 kernel.num_burnin_iters = num_burnin_iters
             recorded, info = run_kernel_backend(
                 kernel, key, theta0s, schedule, num_iters, num_burnin_iters,
-                plan, record_thin)
+                plan, record_thin,
+                needs_accepted=(record_keys is None
+                                or "accepted" in record_keys))
             if not return_state:
                 if return_arrays:
                     return recorded
