@@ -48,3 +48,20 @@ print(f"mean tree depth: {np.asarray(rec_f['depth']).mean():.2f}, "
       f"mean leapfrogs/transition: {np.asarray(rec_f['num_leapfrogs']).mean():.2f} "
       f"(budget 15)")
 assert same
+
+# Round 4: let the framework pick the frozen budget — a short adaptive
+# warmup freezes max_depth at the p95 kept treedepth and returns the tuned
+# step. (On TPU with an architecture-generated model — MLP / logistic
+# regression — the fixed-budget kernel then dispatches to the whole-loop
+# Pallas NUTS kernels automatically: 597M samples/s dense / 22M sublane,
+# benchmarks/DENSE_NUTS_RESULTS.json.)
+from eeyore_tpu.samplers import choose_max_depth
+
+depth, step = choose_max_depth(model, data, step=0.4, num_warmup=200,
+                               theta0s=theta0s[:8], key=jax.random.PRNGKey(2))
+print(f"choose_max_depth: frozen depth {depth}, tuned step {step:.3f}")
+auto = NUTS(model, step=step, max_depth=depth, fixed_budget=True)
+rec = sample_chains(auto, jax.random.PRNGKey(3), theta0s, data,
+                    num_iters=500, num_burnin_iters=100, return_arrays=True)
+pooled2 = np.asarray(rec["sample"], dtype=np.float64).reshape(-1, 2)
+print(f"auto-budget pooled mean: {pooled2.mean(0).round(3)} (true [0, 0])")
