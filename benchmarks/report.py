@@ -304,6 +304,7 @@ def resident_section():
            "iris_tuned_stability); l_rounding='stochastic' guarantees the",
            "stability structurally (wall = ceil(l/e)) at ~1.2x fewer",
            "samples/s when round() would pick the lower integer."]
+    md += round4_section()
     return md
 
 
@@ -348,6 +349,61 @@ def dense_section():
             line += (f", HMC to {t['hmc_tuned_acceptance']} "
                      f"(target {t['hmc_target']})")
         md += ["", line + "."]
+    return md
+
+
+def round4_section():
+    """Round-4 results rendered from the saved JSONs so regeneration never
+    drops them (dispatch, NUTS kernels, SMC hard targets, MXU sweep)."""
+    b = Path(__file__).parent
+    md = ["", "## Round 4: the public API reaches the kernels", ""]
+
+    def load(name):
+        p = b / name
+        return json.loads(p.read_text()) if p.exists() else None
+
+    disp = load("DISPATCH_RESULTS.json")
+    if disp:
+        c1, c3 = disp.get("config1_mh_auto"), disp.get("config3_hmc_auto")
+        if c1 and c3:
+            md += [f"Kernel dispatch (`backend=\"auto\"` in sample_chains / the "
+                   f"harness, samplers/dispatch.py): config-1 MH "
+                   f"{c1['auto_sps']:,.0f} samples/s ({c1['speedup']}x its "
+                   f"scanned path), config-3 iris HMC {c3['auto_sps']:,.0f} "
+                   f"({c3['speedup']}x), moments + acceptance matched."]
+        td = disp.get("tempering_dispatch")
+        if td:
+            md += [f"PowerPosteriorSampler.run even/odd ladders: "
+                   f"{td['speedup']}x via the whole-ladder kernel."]
+    nuts = load("DENSE_NUTS_RESULTS.json")
+    if nuts:
+        v = nuts.get("validation")
+        if v:
+            md += ["", f"Fixed-budget NUTS kernels: dense XOR "
+                   f"{v['dense_sps']:,.0f} samples/s ({v['speedup']}x scanned "
+                   f"fixed-budget), ESS/s {v['dense_ess_per_s']:,.0f}."]
+        ir = nuts.get("iris_sublane")
+        if ir:
+            md += [f"Sublane iris: {ir['dense_sps']:,.0f} samples/s "
+                   f"({ir['speedup']}x), zero divergences."]
+        ds = nuts.get("depth_scaling_32768x512")
+        if ds:
+            md += ["Depth scaling (leapfrogs/s): "
+                   + ", ".join(f"d{k[-1]}: {v['leapfrogs_per_s']/1e9:.2f}G"
+                               for k, v in sorted(ds.items()))]
+    hard = load("SMC_HARD_RESULTS.json")
+    if hard and "banknotes_lr" in hard:
+        lr = hard["banknotes_lr"]
+        md += ["", f"Adaptive SMC, banknotes LR: "
+               f"{lr['adaptive']['stages']} stages, log-evidence "
+               f"{lr['adaptive']['log_evidence']} vs "
+               f"{lr['fixed_quartic_30']['log_evidence']} (30-stage) vs "
+               f"{lr['thermodynamic_integration']['log_z']} +- "
+               f"{lr['thermodynamic_integration']['log_z_se']} (TI)."]
+    if (b / "WIDE_MODEL_RESULTS.json").exists():
+        md += ["Wide-model boundary: P=12730 runs the scanned engine "
+               "(whole-loop residency spills past VMEM; "
+               "WIDE_MODEL_RESULTS.json); dispatch gated at 256 params."]
     return md
 
 
