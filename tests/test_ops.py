@@ -318,3 +318,53 @@ class TestSincos2Pi:
         c, s = sincos_2pi(jnp.asarray(u))
         r2 = np.asarray(c, np.float64) ** 2 + np.asarray(s, np.float64) ** 2
         assert np.max(np.abs(r2 - 1.0)) < 1e-6
+
+
+class TestResidentNutsBuilders:
+    """CPU-side contract checks for the fixed-budget NUTS kernel makers
+    (the kernels themselves are TPU-only; device validation:
+    benchmarks/validate_dense_nuts.py)."""
+
+    def _model_xy(self):
+        from eeyore_tpu.models import MLP, loss_functions, mlp
+
+        model = MLP(loss=loss_functions["binary_classification"],
+                    hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+        x = np.asarray([[0., 0.], [0., 1.], [1., 0.], [1., 1.]], np.float32)
+        y = np.asarray([[0.], [1.], [1.], [0.]], np.float32)
+        return model, x, y
+
+    def test_dense_maker_validates(self):
+        from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        model, x, y = self._model_xy()
+        with pytest.raises(ValueError, match="max_depth"):
+            make_resident_nuts_dense(model, x, y, step=0.1, max_depth=0,
+                                     num_iters=8)
+        with pytest.raises(ValueError, match="chain_block"):
+            make_resident_nuts_dense(model, x, y, step=0.1, max_depth=3,
+                                     num_iters=8, chain_block=512)
+        with pytest.raises(ValueError, match="trajectory"):
+            make_resident_nuts_dense(model, x, y, step=0.1, max_depth=3,
+                                     num_iters=8, tuner=HMCDATuner(l=0.5))
+        # chain-count check happens at call time, before any pallas work
+        fn = make_resident_nuts_dense(model, x, y, step=0.1, max_depth=3,
+                                      num_iters=8, chain_block=1024)
+        with pytest.raises(ValueError, match="chains"):
+            fn(0, jnp.zeros((512, model.num_params)))
+
+    def test_sublane_maker_validates(self):
+        from eeyore_tpu.ops.resident_nuts import make_resident_nuts
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        model, x, y = self._model_xy()
+        with pytest.raises(ValueError, match="max_depth"):
+            make_resident_nuts(model, x, y, step=0.1, max_depth=0, num_iters=8)
+        with pytest.raises(ValueError, match="trajectory"):
+            make_resident_nuts(model, x, y, step=0.1, max_depth=3,
+                               num_iters=8, tuner=HMCDATuner(l=0.5))
+        fn = make_resident_nuts(model, x, y, step=0.1, max_depth=3,
+                                num_iters=8, chain_block=256)
+        with pytest.raises(ValueError, match="chains"):
+            fn(0, jnp.zeros((100, model.num_params)))
