@@ -15,6 +15,15 @@ Two SMC-specific twists:
   tempering stage (a baked-in beta would recompile per stage — minutes per
   compile on this toolchain).
 
+Non-architecture targets (DistributionModel + base_log_pdf — the scanned
+SMCSampler's geometric path) use a GENERIC vg: the model's log-pdf closure
+is traced per-lane via ``jax.vmap(jax.value_and_grad(...), in_axes=1)``
+inside the kernel, so any jnp-written target runs resident, not just the
+extract_arch model families. Mosaic must be able to lower whatever ops the
+closure traces to — plain elementwise/reduction densities (mixtures,
+Gaussians) do; exotic ops may fail at compile time, in which case use the
+scanned path.
+
 The kernel also returns the final per-particle log-likelihood (the
 "potential"), which is exactly what the next stage's importance reweighting
 needs — so the driver never recomputes it. Reweighting, ESS checks, and
@@ -36,27 +45,110 @@ from eeyore_tpu.ops.mlp_math import make_vg, prepare_data
 from eeyore_tpu.samplers.smc import log_ess, systematic_resample_indices
 
 
+def _mutation_loop(vg, beta, theta0, step, num_mutation_steps, with_grad):
+    """The shared in-kernel MALA/MH mutation loop at tempered target
+    lp + beta * ll; ``vg(theta [P, cb])`` returns ``(ll, lp[, gll, glp])``
+    as [1, cb] / [P, cb] tiles. Returns (theta, ll, acc_counts [1, cb])."""
+    sqrt_step = math.sqrt(step)
+    if with_grad:
+        ll0, lp0, gll0, glp0 = vg(theta0)
+        grad0 = glp0 + beta * gll0
+    else:
+        ll0, lp0 = vg(theta0)
+        grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
+    val0 = lp0 + beta * ll0
+    acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+
+    def iteration(s, carry):
+        theta, val, grad, ll, acc = carry
+        z = _normal(theta.shape)
+        if with_grad:
+            prop = theta + 0.5 * step * grad + sqrt_step * z
+            ll_p, lp_p, gll_p, glp_p = vg(prop)
+            v_p = lp_p + beta * ll_p
+            g_p = glp_p + beta * gll_p
+            d_rev = theta - (prop + 0.5 * step * g_p)
+            log_rate = (v_p - val
+                        - (0.5 / step) * jnp.sum(d_rev * d_rev, axis=0, keepdims=True)
+                        + 0.5 * jnp.sum(z * z, axis=0, keepdims=True))
+        else:
+            prop = theta + sqrt_step * z
+            ll_p, lp_p = vg(prop)
+            v_p = lp_p + beta * ll_p
+            g_p = grad
+            log_rate = v_p - val
+        u = _uniform(log_rate.shape)
+        accept = jnp.log(u) < log_rate
+        theta = jnp.where(accept, prop, theta)
+        val = jnp.where(accept, v_p, val)
+        grad = jnp.where(accept, g_p, grad) if with_grad else grad
+        ll = jnp.where(accept, ll_p, ll)
+        return (theta, val, grad, ll, acc + jnp.where(accept, 1.0, 0.0))
+
+    theta, val, grad, ll, acc = jax.lax.fori_loop(
+        0, num_mutation_steps, iteration, (theta0, val0, grad0, ll0, acc0))
+    return theta, ll, acc
+
+
+def make_generic_vg(model, x, y, base_log_pdf, with_grad):
+    """Lane-batched (ll, lp[, grads]) for a non-architecture target: the
+    geometric path of samplers/smc.py (_potential/_base) with
+    ll = log_target - base, lp = base, traced per-lane with
+    ``vmap(value_and_grad, in_axes=1)`` — chains stay on lanes, any
+    jnp-written log-pdf works (Mosaic permitting)."""
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+
+    def ll_fn(th):
+        return model.log_target(th, xj, yj) - base_log_pdf(th)
+
+    def lp_fn(th):
+        return base_log_pdf(th)
+
+    def vg(theta):  # [P, cb]
+        if with_grad:
+            ll, gll = jax.vmap(jax.value_and_grad(ll_fn),
+                               in_axes=1, out_axes=(0, 1))(theta)
+            lp, glp = jax.vmap(jax.value_and_grad(lp_fn),
+                               in_axes=1, out_axes=(0, 1))(theta)
+            return (ll.reshape(1, -1), lp.reshape(1, -1), gll, glp)
+        ll = jax.vmap(ll_fn, in_axes=1)(theta)
+        lp = jax.vmap(lp_fn, in_axes=1)(theta)
+        return ll.reshape(1, -1), lp.reshape(1, -1)
+
+    return vg
+
+
 def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
-                               chain_block=4096, mutation="MALA"):
+                               chain_block=4096, mutation="MALA",
+                               base_log_pdf=None):
     """Build ``fn(seed, beta, theta0s [N, P]) -> (final [N, P], pot [N],
     acc_counts [N])``: ``num_mutation_steps`` MALA (or MH) moves per particle
     at the likelihood-tempered target prior * lik^beta, entirely on-chip.
     ``pot`` is the final per-particle log-likelihood (the next reweighting
     potential). ``beta`` is a traced scalar — no recompilation across stages.
-    """
+
+    ``base_log_pdf``: for non-Bayesian targets (DistributionModel), the base
+    distribution of the geometric path; the kernel then mutates
+    base * (target/base)^beta with a generic per-lane traced vg instead of
+    the extract_arch chain-lane math."""
     if mutation not in ("MALA", "MH"):
         raise ValueError(f"unsupported mutation {mutation!r} (MALA or MH)")
     with_grad = mutation == "MALA"
-    x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
-    if temperature != 1.0:
-        raise ValueError("pass an untempered model; SMC applies the beta ladder")
-    vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
-                      1.0, with_grad=with_grad, split=True)
     P = model.num_params
-    n_pad, d_in = x_pad.shape
-    k_out = y_pad.shape[1]
     step = float(step)
-    sqrt_step = math.sqrt(step)
+    generic = base_log_pdf is not None
+
+    if generic:
+        vg_generic = make_generic_vg(model, x, y, base_log_pdf, with_grad)
+    else:
+        x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
+        if temperature != 1.0:
+            raise ValueError("pass an untempered model; SMC applies the beta ladder")
+        vg_math = make_vg(model, x_pad, y_pad, row_mask, loc, ivar, prior_const,
+                          1.0, with_grad=with_grad, split=True)
+        n_pad, d_in = x_pad.shape
+        k_out = y_pad.shape[1]
 
     def kernel(seed_ref, beta_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref,
                ivar_ref, final_ref, pot_ref, acc_ref):
@@ -73,44 +165,19 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
         def vg(theta):
             return vg_math(theta, xv, yv, maskv, locv, ivarv)
 
-        theta0 = theta_ref[:, :]
-        if with_grad:
-            ll0, lp0, gll0, glp0 = vg(theta0)
-            grad0 = glp0 + beta * gll0
-        else:
-            ll0, lp0 = vg(theta0)
-            grad0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)  # unused
-        val0 = lp0 + beta * ll0
-        acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
+        theta, ll, acc = _mutation_loop(vg, beta, theta_ref[:, :], step,
+                                        num_mutation_steps, with_grad)
+        final_ref[:, :] = theta
+        pot_ref[:, :] = ll
+        acc_ref[:, :] = acc
 
-        def iteration(s, carry):
-            theta, val, grad, ll, acc = carry
-            z = _normal(theta.shape)
-            if with_grad:
-                prop = theta + 0.5 * step * grad + sqrt_step * z
-                ll_p, lp_p, gll_p, glp_p = vg(prop)
-                v_p = lp_p + beta * ll_p
-                g_p = glp_p + beta * gll_p
-                d_rev = theta - (prop + 0.5 * step * g_p)
-                log_rate = (v_p - val
-                            - (0.5 / step) * jnp.sum(d_rev * d_rev, axis=0, keepdims=True)
-                            + 0.5 * jnp.sum(z * z, axis=0, keepdims=True))
-            else:
-                prop = theta + sqrt_step * z
-                ll_p, lp_p = vg(prop)
-                v_p = lp_p + beta * ll_p
-                g_p = grad
-                log_rate = v_p - val
-            u = _uniform(log_rate.shape)
-            accept = jnp.log(u) < log_rate
-            theta = jnp.where(accept, prop, theta)
-            val = jnp.where(accept, v_p, val)
-            grad = jnp.where(accept, g_p, grad) if with_grad else grad
-            ll = jnp.where(accept, ll_p, ll)
-            return (theta, val, grad, ll, acc + jnp.where(accept, 1.0, 0.0))
-
-        theta, val, grad, ll, acc = jax.lax.fori_loop(
-            0, num_mutation_steps, iteration, (theta0, val0, grad0, ll0, acc0))
+    def kernel_generic(seed_ref, beta_ref, theta_ref, final_ref, pot_ref,
+                       acc_ref):
+        i_blk = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i_blk)
+        theta, ll, acc = _mutation_loop(vg_generic, beta_ref[0],
+                                        theta_ref[:, :], step,
+                                        num_mutation_steps, with_grad)
         final_ref[:, :] = theta
         pot_ref[:, :] = ll
         acc_ref[:, :] = acc
@@ -123,19 +190,7 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
         num_blocks = N // chain_block
         theta_t = theta0s.T  # [P, N]
 
-        final, pot, acc = pl.pallas_call(
-            kernel,
-            grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, d_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, k_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+        tile_specs = dict(
             out_specs=[
                 pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -149,9 +204,37 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
-        )(jnp.asarray([seed], jnp.int32), jnp.asarray([beta], jnp.float32),
-          theta_t, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
-          jnp.asarray(loc), jnp.asarray(ivar))
+        )
+        if generic:
+            final, pot, acc = pl.pallas_call(
+                kernel_generic,
+                grid=(num_blocks,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                ],
+                **tile_specs,
+            )(jnp.asarray([seed], jnp.int32), jnp.asarray([beta], jnp.float32),
+              theta_t)
+        else:
+            final, pot, acc = pl.pallas_call(
+                kernel,
+                grid=(num_blocks,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_pad, d_in), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_pad, k_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                **tile_specs,
+            )(jnp.asarray([seed], jnp.int32), jnp.asarray([beta], jnp.float32),
+              theta_t, jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
+              jnp.asarray(loc), jnp.asarray(ivar))
         return final.T, pot[0], acc[0]
 
     return fn
@@ -160,7 +243,8 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
 def make_resident_smc(model, x, y, num_particles, betas=None,
                       num_mutation_steps=2, mutation="MALA", mutation_step=0.1,
                       ess_threshold=0.5, chain_block=4096,
-                      adaptive_target_ess=0.5, max_stages=50):
+                      adaptive_target_ess=0.5, max_stages=50,
+                      init_sampler=None, base_log_pdf=None):
     """Build ``runner(seed) -> (particles [N, P], log_weights [N],
     diagnostics)``: tempered SMC (samplers/smc.py semantics: prior *
     lik^beta path, ESS-triggered systematic resampling, evidence
@@ -179,6 +263,11 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
     semantics): the mutation kernel already takes beta as a traced SMEM
     scalar, so one compiled kernel serves the dynamic ladder; diagnostics
     gain ``num_stages`` and are trimmed to the stages actually run.
+
+    ``init_sampler``/``base_log_pdf``: for non-Bayesian targets
+    (DistributionModel — SMCSampler's geometric path from an explicit base
+    distribution): particle birth from ``init_sampler(key, n)``, potential
+    = log_target - base, mutation via the generic per-lane traced vg.
     """
     adaptive = isinstance(betas, str) and betas == "adaptive"
     if not adaptive:
@@ -188,10 +277,14 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
     n = int(num_particles)
     x = np.asarray(x)
     y = np.asarray(y)
+    generic = base_log_pdf is not None
+    if generic and init_sampler is None:
+        raise ValueError("non-Bayesian targets need init_sampler(key, n) "
+                         "alongside base_log_pdf")
 
     mut = make_resident_smc_mutation(
         model, x, y, step=mutation_step, num_mutation_steps=num_mutation_steps,
-        chain_block=chain_block, mutation=mutation)
+        chain_block=chain_block, mutation=mutation, base_log_pdf=base_log_pdf)
 
     xj, yj = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
 
@@ -255,9 +348,14 @@ def make_resident_smc(model, x, y, num_particles, betas=None,
     def run(seed_val):
         key = jax.random.PRNGKey(seed_val)
         key_birth, key_stages = jax.random.split(key)
-        keys = jax.random.split(key_birth, n)
-        particles = jax.vmap(model.prior.sample)(keys).astype(jnp.float32)
-        pots = jax.vmap(lambda t: model.log_lik(t, xj, yj))(particles)
+        if generic:
+            particles = jnp.asarray(init_sampler(key_birth, n), jnp.float32)
+            pots = jax.vmap(lambda t: model.log_target(t, xj, yj)
+                            - base_log_pdf(t))(particles)
+        else:
+            keys = jax.random.split(key_birth, n)
+            particles = jax.vmap(model.prior.sample)(keys).astype(jnp.float32)
+            pots = jax.vmap(lambda t: model.log_lik(t, xj, yj))(particles)
         log_w = jnp.zeros(n, dtype=jnp.float32)
         log_z = jnp.zeros((), dtype=jnp.float32)
         if not adaptive:

@@ -34,6 +34,7 @@ Code that needs them, or bit-reproducibility against jax.random keys,
 should pass ``backend="scan"``.
 """
 
+import inspect
 import math
 
 import jax
@@ -45,6 +46,36 @@ from eeyore_tpu.kernels.proposal_kernels import NormalKernel
 from eeyore_tpu.ops.mlp_dense import MAX_DENSE_ROWS
 
 BACKENDS = ("auto", "scan", "resident", "dense")
+
+# keys the kernel backends can record; an EXPLICIT record_keys request for
+# anything else (target_val, grad_val, ...) forces the scanned path
+KERNEL_RECORD_KEYS = frozenset({"sample", "accepted"})
+
+
+def _freeze(v):
+    """Hashable fingerprint of a maker kwarg / data array, for the compiled-
+    kernel cache key: the makers bake data and hyperparameters into the
+    traced program as constants, so the cache must key on their VALUES (the
+    scanned path's equivalent is keying on id(schedule), runner.py)."""
+    if isinstance(v, (np.ndarray, jax.Array)):
+        arr = np.asarray(v)
+        return ("ndarray", arr.shape, str(arr.dtype), arr.tobytes())
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    # config objects (tuners): snapshot their scalar attributes so mutating
+    # e.g. tuner.d between runs rebuilds, plus identity as a tie-break
+    return (type(v).__name__, id(v), tuple(sorted(
+        (k, _freeze(x)) for k, x in vars(v).items()
+        if isinstance(x, (bool, int, float, str, type(None))))))
+
+
+def _data_fingerprint(x, y):
+    return (x.shape, str(x.dtype), hash(x.tobytes()),
+            y.shape, str(y.dtype), hash(y.tobytes()))
 
 _DENSE_BLOCKS = (8192, 4096, 2048, 1024)
 _RESIDENT_BLOCKS = (4096, 2048, 1024, 512, 256, 128)
@@ -130,7 +161,18 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
         hmc_kw = dict(step=float(kernel.step0), num_steps=int(kernel.num_steps0),
                       tuner=kernel.tuner, **common)
         if kernel.tuner is not None:
-            hmc_kw["max_num_steps"] = min(int(kernel.max_num_steps), 64)
+            # the kernels unroll the trajectory wall: silently shortening a
+            # USER-configured l-rule ceiling would change the sampler, so an
+            # explicit > 64 is ineligible; the default (scan ceiling 1024 =
+            # effectively uncapped) takes the kernel's validated 64 cap
+            if getattr(kernel, "explicit_max_num_steps", True):
+                if int(kernel.max_num_steps) > 64:
+                    return None, (f"max_num_steps={kernel.max_num_steps} > "
+                                  "the kernel unroll cap 64; use the scanned "
+                                  "path or lower max_num_steps")
+                hmc_kw["max_num_steps"] = int(kernel.max_num_steps)
+            else:
+                hmc_kw["max_num_steps"] = min(int(kernel.max_num_steps), 64)
         if want_dense:
             from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
             cb = _pick_block(num_chains, _DENSE_BLOCKS)
@@ -198,13 +240,19 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
 
 
 def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
-                    record_thin=1, backend="auto", platform=None):
+                    record_thin=1, backend="auto", platform=None,
+                    record_keys=None):
     """Decide which engine runs this request.
 
     Returns ``(plan_or_None, reason)``: a :class:`_Plan` when a kernel
     backend will run, else ``(None, why_scan)``. ``backend`` in
     {"auto", "scan", "resident", "dense"}; explicit "resident"/"dense"
-    RAISE when ineligible instead of silently falling back."""
+    RAISE when ineligible instead of silently falling back.
+
+    ``record_keys``: the caller's EXPLICIT record request (None = the
+    sampler default). The kernels record sample/accepted only, so an
+    explicit request for anything else (target_val, grad_val, ...) is an
+    ineligibility — the data must come from the scanned path, not vanish."""
     if backend not in BACKENDS:
         raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
     if backend == "scan":
@@ -215,6 +263,13 @@ def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
             raise ValueError(f"backend={backend!r} requested but ineligible: "
                              f"{reason}")
         return None, reason
+
+    if record_keys is not None:
+        extra = set(record_keys) - KERNEL_RECORD_KEYS
+        if extra:
+            return fail(f"record_keys {sorted(extra)} not recordable by the "
+                        f"kernel backends (they record "
+                        f"{sorted(KERNEL_RECORD_KEYS)} only)")
 
     platform = platform or jax.default_backend()
     if platform != "tpu":
@@ -289,13 +344,23 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
     cache = getattr(kernel, "_backend_cache", None)
     if cache is None:
         cache = kernel._backend_cache = {}
+    # data values and hyperparameters are baked into the traced kernel as
+    # constants: key on them (not just shapes) so re-running the same
+    # sampler object on different data, or after mutating step/scale,
+    # rebuilds instead of silently reusing a stale compiled kernel
     cache_key = (plan.maker.__name__, theta0s.shape, num_iters,
-                 num_burnin_iters, record_thin, plan.chain_block)
+                 num_burnin_iters, record_thin, plan.chain_block,
+                 _data_fingerprint(x, y), _freeze(plan.kwargs))
     if cache_key not in cache:
         base = plan.maker(kernel.model, x, y, **plan.kwargs)
+        # dispatch always supplies chain-major [C, P] inits; say so for
+        # makers whose fn would otherwise shape-sniff (ambiguous at C == 8P)
+        base_kw = ({"dense_input": False}
+                   if "dense_input" in inspect.signature(base).parameters
+                   else {})
 
         def wrapped(seed, th):
-            out = base(seed, th)
+            out = base(seed, th, **base_kw)
             # chain-major [C, kept, P] INSIDE the jit so XLA fuses this
             # with the kernel's own unstack transpose (separate dispatches
             # cost a second full pass over the samples)
@@ -378,8 +443,12 @@ def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
                     f"{MAX_DISPATCH_PARAMS}")
 
     L = int(pp.num_chains)
-    step = float(pp.sampler_kwargs.get(
-        "step", pp.sampler_kwargs.get("scale", 0.1)))
+    # defaults must match the scanned path's inner samplers: MALA(step=0.1)
+    # (mala.py:29), MetropolisHastings -> NormalKernel(scale=1.0) (mh.py:28)
+    if pp.sampler == "MALA":
+        step = float(pp.sampler_kwargs.get("step", 0.1))
+    else:
+        step = float(pp.sampler_kwargs.get("scale", 1.0))
     kw = dict(num_rungs=L, step=step, sampler=pp.sampler,
               temperatures=np.asarray(pp.temperatures, np.float64),
               between_step=pp.between_step, num_iters=num_iters,
@@ -408,12 +477,116 @@ def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
     return fail(f"no kernel block divisible by the {L}-rung ladder")
 
 
+# ----------------------------------------------------------------------
+# SMC dispatch (SMCSampler.run -> resident mutation driver)
+# ----------------------------------------------------------------------
+
+def resolve_smc(smc, data, backend="auto", platform=None):
+    """Dispatch decision for a tempered-SMC run: the resident driver
+    (ops/resident_smc.py::make_resident_smc) runs the whole anneal —
+    reweight, ESS-triggered resample, kernel mutation — as one device
+    program, with the mutation passes VMEM-resident. Architecture models
+    (MLP/LogisticRegression) use the chain-lane split vg; DistributionModel
+    targets with an explicit base (init_sampler + base_log_pdf) use the
+    generic per-lane traced vg. Returns (chain_block_or_None, reason)."""
+    if backend not in BACKENDS:
+        raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
+    if backend == "scan":
+        return None, "explicit backend='scan'"
+
+    def fail(reason):
+        if backend in ("resident", "dense"):
+            raise ValueError(f"backend={backend!r} requested but ineligible: "
+                             f"{reason}")
+        return None, reason
+
+    if backend == "dense":
+        return fail("SMC has a resident mutation kernel only (particle "
+                    "clouds are iris-class state); use backend='resident'")
+    platform = platform or jax.default_backend()
+    if platform != "tpu":
+        return fail("kernel backends need a TPU")
+    if smc.mutation not in ("MALA", "MH"):
+        return fail(f"mutation {smc.mutation!r} has no kernel")
+    if smc.model.num_params > MAX_DISPATCH_PARAMS:
+        return fail(f"{smc.model.num_params} params > MAX_DISPATCH_PARAMS="
+                    f"{MAX_DISPATCH_PARAMS}")
+    if smc._is_bayesian:
+        try:
+            from eeyore_tpu.ops.mlp_math import extract_arch
+            extract_arch(smc.model)
+        except (ValueError, AttributeError) as err:
+            return fail(f"model not kernel-compatible: {err}")
+    elif smc.base_log_pdf is None or smc.init_sampler is None:
+        return fail("non-Bayesian targets need init_sampler + base_log_pdf "
+                    "for the kernel's geometric path")
+    cb = _pick_block(smc.num_particles, _RESIDENT_BLOCKS)
+    if cb is None:
+        return fail("resident SMC needs particles divisible by 128")
+    return cb, None
+
+
+def run_smc_backend(smc, key, data, chain_block):
+    """Execute a resolved SMC plan: build (and cache on the sampler) the
+    resident runner, run it, and re-wrap outputs in SMCSampler.run's
+    (state, diagnostics) contract. Kernel PRNG: statistically equivalent,
+    not bit-matched to the scanned path."""
+    from eeyore_tpu.ops.resident_smc import make_resident_smc
+    from eeyore_tpu.samplers.smc import SMCState, log_ess
+
+    x = np.asarray(data[0], np.float32)
+    y = np.asarray(data[1], np.float32)
+
+    cache = getattr(smc, "_backend_cache", None)
+    if cache is None:
+        cache = smc._backend_cache = {}
+    betas_key = ("adaptive" if smc.adaptive
+                 else _freeze(np.asarray(smc.betas)))
+    cache_key = (chain_block, betas_key, smc.num_mutation_steps,
+                 smc.mutation, float(smc.mutation_step),
+                 float(smc.ess_threshold), float(smc.adaptive_target_ess),
+                 int(smc.max_stages), _data_fingerprint(x, y),
+                 id(smc.base_log_pdf), id(smc.init_sampler))
+    if cache_key not in cache:
+        cache[cache_key] = make_resident_smc(
+            smc.model, x, y, num_particles=smc.num_particles,
+            betas=("adaptive" if smc.adaptive else np.asarray(smc.betas)),
+            num_mutation_steps=smc.num_mutation_steps, mutation=smc.mutation,
+            mutation_step=smc.mutation_step, ess_threshold=smc.ess_threshold,
+            chain_block=chain_block,
+            adaptive_target_ess=smc.adaptive_target_ess,
+            max_stages=smc.max_stages, init_sampler=smc.init_sampler,
+            base_log_pdf=smc.base_log_pdf)
+    runner = cache[cache_key]
+
+    particles, log_w, diags = runner(_seed_from_key(key))
+    num_stages = int(diags.get("num_stages", len(np.asarray(diags["beta"]))))
+    final_beta = float(diags.get("final_beta", 1.0))
+    ess = float(diags.pop("final_weight_ess"))
+    diags.pop("final_beta", None)
+    state = SMCState(
+        particles=particles, log_weights=jnp.asarray(log_w),
+        log_lik=jnp.zeros(smc.num_particles, dtype=jnp.float32),
+        beta=jnp.asarray(final_beta, jnp.float32),
+        ess=jnp.asarray(ess),
+        unique_frac=jnp.asarray(diags["unique_frac"][num_stages - 1]))
+    return state, diags
+
+
 def run_tempering_backend(pp, key, theta0, data, num_iters,
-                          num_burnin_iters, plan, record_thin=1):
+                          num_burnin_iters, plan, record_thin=1,
+                          all_ladders=False):
     """Execute a resolved tempering plan for ONE logical ladder: the kernel
     runs chain_block lanes (chain_block / num_rungs ladders diverging
     through the on-core PRNG) and ladder 0's rungs are returned, coldest
-    chain last — pp.run's layout."""
+    chain last — pp.run's layout.
+
+    ``all_ladders=True`` keeps every ladder the kernel already computed
+    (chain_block / num_rungs of them): the returned ChainLists holds
+    ``num_ladders * L`` chains ordered ladder-major (ladder g's rungs at
+    chains [g*L, (g+1)*L), coldest last within each ladder), so cross-ladder
+    diagnostics (multi_rhat per rung — reference chain_lists.py:122-155)
+    come free instead of re-running."""
     from eeyore_tpu.chains import ChainLists
 
     schedule = as_schedule(data)
@@ -425,7 +598,8 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
     if cache is None:
         cache = pp._backend_cache = {}
     cache_key = (plan.maker.__name__, num_iters, num_burnin_iters,
-                 record_thin, plan.chain_block)
+                 record_thin, plan.chain_block,
+                 _data_fingerprint(x, y), _freeze(plan.kwargs))
     if cache_key not in cache:
         cache[cache_key] = jax.jit(plan.maker(pp.model, x, y, **plan.kwargs))
     fn = cache[cache_key]
@@ -437,10 +611,12 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
         theta0s = jnp.tile(theta0, (plan.chain_block // L, 1))
     samples, final, counts = fn(_seed_from_key(key), theta0s)
 
-    ladder0 = jnp.swapaxes(samples[:, :L, :], 0, 1)   # [L, kept, P]
-    moved = jnp.any(ladder0[:, 1:, :] != ladder0[:, :-1, :], axis=-1)
+    keep = plan.chain_block if all_ladders else L
+    ladders = jnp.swapaxes(samples[:, :keep, :], 0, 1)   # [keep, kept, P]
+    moved = jnp.any(ladders[:, 1:, :] != ladders[:, :-1, :], axis=-1)
     accepted = jnp.concatenate(
-        [jnp.ones((L, 1), dtype=moved.dtype), moved], axis=1).astype(jnp.int32)
-    chains = ChainLists.from_arrays({"sample": np.asarray(ladder0),
+        [jnp.ones((keep, 1), dtype=moved.dtype), moved],
+        axis=1).astype(jnp.int32)
+    chains = ChainLists.from_arrays({"sample": np.asarray(ladders),
                                      "accepted": np.asarray(accepted)})
     return chains

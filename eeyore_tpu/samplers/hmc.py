@@ -41,7 +41,7 @@ class HMC(TransitionKernel):
     state_keys = ("sample", "target_val", "grad_val", "momentum", "hamiltonian", "accepted")
     needs_iteration = True
 
-    def __init__(self, model, step=0.1, num_steps=10, tuner=None, max_num_steps=1024,
+    def __init__(self, model, step=0.1, num_steps=10, tuner=None, max_num_steps=None,
                  num_burnin_iters=0, recompute_current=False):
         super().__init__(model, recompute_current=recompute_current)
         self.step0 = step
@@ -52,7 +52,11 @@ class HMC(TransitionKernel):
                 "pass HMCDATuner(l=...) (num_steps = round(l / step)); only "
                 "NUTS, which picks its own trajectories, can omit l")
         self.tuner = tuner
-        self.max_num_steps = max_num_steps
+        # None = the scanned default ceiling 1024; kernel dispatch treats an
+        # EXPLICIT ceiling > its unroll cap as ineligible (no silent clamp)
+        # but may cap the default one (samplers/dispatch.py)
+        self.explicit_max_num_steps = max_num_steps is not None
+        self.max_num_steps = 1024 if max_num_steps is None else max_num_steps
         # Tuning runs while iteration < num_burnin_iters (reference hmc.py:158-163);
         # the runner sets this before tracing.
         self.num_burnin_iters = num_burnin_iters

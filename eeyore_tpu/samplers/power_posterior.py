@@ -232,7 +232,7 @@ class PowerPosteriorSampler(PopulationKernel):
         return new_state, info
 
     def run(self, key, theta0, data, num_iters, num_burnin_iters=0,
-            record_keys=None, jit=True, backend="auto"):
+            record_keys=None, jit=True, backend="auto", all_ladders=False):
         """Run the ladder; returns ChainLists with one chain per rung (the
         coldest chain last, as in the reference).
 
@@ -241,7 +241,14 @@ class PowerPosteriorSampler(PopulationKernel):
         (ops/resident_tempering{_dense}.py — samplers/dispatch.py
         resolve_tempering documents eligibility and the recorded-key
         contract); categorical-swap ladders and everything off-TPU run the
-        scanned path, forced with "scan"."""
+        scanned path, forced with "scan".
+
+        ``all_ladders=True``: on a kernel backend, return EVERY independent
+        ladder the chain_block already computed (chain_block/num_chains of
+        them, ladder-major — see dispatch.run_tempering_backend) instead of
+        just ladder 0; cross-ladder convergence diagnostics then need no
+        extra runs. The scanned path runs a single ladder, so there it is
+        a no-op."""
         if jit and backend != "scan":
             from eeyore_tpu.samplers.dispatch import (
                 resolve_tempering, run_tempering_backend,
@@ -252,6 +259,6 @@ class PowerPosteriorSampler(PopulationKernel):
             if plan is not None:
                 return run_tempering_backend(
                     self, key, theta0, data, num_iters, num_burnin_iters,
-                    plan)
+                    plan, all_ladders=all_ladders)
         return sample_population(self, key, theta0, data, num_iters, num_burnin_iters,
                                  record_keys=record_keys, jit=jit)

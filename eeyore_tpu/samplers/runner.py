@@ -130,7 +130,7 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
 
         plan, _reason = resolve_backend(
             kernel, schedule, 1024, num_iters, num_burnin_iters, record_thin,
-            backend=backend)
+            backend=backend, record_keys=record_keys)
         if plan is not None:
             kernel.recompute_current = False
             if hasattr(kernel, "num_burnin_iters"):
@@ -188,7 +188,8 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
 
         plan, _reason = resolve_backend(
             kernel, schedule, jnp.asarray(theta0s).shape[0], num_iters,
-            num_burnin_iters, record_thin, backend=backend)
+            num_burnin_iters, record_thin, backend=backend,
+            record_keys=record_keys)
         if plan is not None:
             kernel.recompute_current = False
             if hasattr(kernel, "num_burnin_iters"):

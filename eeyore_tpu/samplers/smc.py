@@ -243,7 +243,7 @@ class SMCSampler:
                "mutation_acceptance": jnp.mean(acc), "unique_frac": unique_frac}
         return particles, log_w, log_z, out
 
-    def run(self, key, data, jit=True, record=False):
+    def run(self, key, data, jit=True, record=False, backend="auto"):
         """Anneal prior -> posterior over the beta schedule (fixed scan, or
         ESS-bisection adaptive tempering when constructed with
         ``betas="adaptive"``).
@@ -251,9 +251,24 @@ class SMCSampler:
         Returns (final SMCState, diagnostics dict with per-stage ess,
         resampled flags, mutation acceptance, log normalizing-constant
         estimate; adaptive runs add ``num_stages`` and trim the per-stage
-        arrays to the stages actually run)."""
+        arrays to the stages actually run).
+
+        ``backend="auto"`` (default) routes eligible runs on TPU onto the
+        whole-anneal resident driver (ops/resident_smc.py): MALA/MH
+        mutation passes VMEM-resident, one device program for the whole
+        ladder — architecture models via the chain-lane vg, non-Bayesian
+        DistributionModel targets via the generic per-lane traced vg
+        (samplers/dispatch.py::resolve_smc documents eligibility). Kernel
+        PRNG draws are statistically equivalent, not bit-matched; pass
+        "scan" for the generic jax.random path."""
         x, y = (jnp.asarray(data[0]), jnp.asarray(data[1]))
         n = self.num_particles
+        if jit and backend != "scan":
+            from eeyore_tpu.samplers.dispatch import resolve_smc, run_smc_backend
+
+            cb, _reason = resolve_smc(self, data, backend=backend)
+            if cb is not None:
+                return run_smc_backend(self, key, (x, y), cb)
         if self.adaptive:
             return self._run_adaptive(key, x, y, jit=jit)
 

@@ -139,6 +139,88 @@ class TestResolve:
         assert plan is None
 
 
+class TestRecordKeysGate:
+    def test_explicit_extra_keys_force_scan(self):
+        # an EXPLICIT request for keys the kernels cannot record must fall
+        # back to the scanned path, not silently vanish (round-4 advice)
+        model = xor_model()
+        plan, reason = resolve_backend(
+            MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
+            record_keys=("sample", "target_val"))
+        assert plan is None and "target_val" in reason
+        # sample/accepted subsets stay eligible
+        plan, _ = resolve_backend(
+            MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
+            record_keys=("sample",))
+        assert plan is not None
+        plan, _ = resolve_backend(
+            MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
+            record_keys=("sample", "accepted"))
+        assert plan is not None
+
+    def test_explicit_backend_raises_on_extra_keys(self):
+        with pytest.raises(ValueError, match="record_keys"):
+            resolve_backend(MALA(xor_model(), step=0.01), XOR, 8192, 256,
+                            platform="tpu", backend="dense",
+                            record_keys=("grad_val",))
+
+    def test_sample_chains_returns_requested_keys(self):
+        # end-to-end: the returned arrays must actually contain the
+        # explicitly requested key (scanned fallback on CPU and TPU alike)
+        model = xor_model()
+        kernel = MALA(model, step=0.01)
+        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                          (4, model.num_params))
+        out = sample_chains(kernel, jax.random.PRNGKey(2), theta0s, XOR,
+                            num_iters=20, return_arrays=True, backend="auto",
+                            record_keys=("sample", "target_val"))
+        assert "target_val" in out and out["target_val"].shape == (4, 20)
+
+
+class TestCacheKeys:
+    def test_freeze_distinguishes_kwargs_and_data(self):
+        from eeyore_tpu.samplers.dispatch import _data_fingerprint, _freeze
+
+        a = dict(step=0.1, num_steps=10, scales=[1.0, 2.0],
+                 temperatures=np.arange(4.0))
+        b = dict(step=0.2, num_steps=10, scales=[1.0, 2.0],
+                 temperatures=np.arange(4.0))
+        c = dict(step=0.1, num_steps=10, scales=[1.0, 2.0],
+                 temperatures=np.arange(4.0) + 1)
+        assert _freeze(a) == _freeze(dict(a))
+        assert _freeze(a) != _freeze(b)
+        assert _freeze(a) != _freeze(c)
+        x1 = np.zeros((4, 2), np.float32)
+        x2 = np.ones((4, 2), np.float32)
+        y = np.zeros((4, 1), np.float32)
+        assert _data_fingerprint(x1, y) == _data_fingerprint(x1.copy(), y)
+        assert _data_fingerprint(x1, y) != _data_fingerprint(x2, y)
+
+    def test_freeze_snapshots_tuner_params(self):
+        from eeyore_tpu.samplers.dispatch import _freeze
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        t = HMCDATuner(l=0.5)
+        before = _freeze(t)
+        t.d = 0.9  # mutate a scalar attribute -> fingerprint must change
+        assert _freeze(t) != before
+
+
+class TestHMCUnrollCap:
+    def test_large_max_num_steps_is_ineligible(self):
+        from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+        kernel = HMC(xor_model(), step=0.05, num_steps=10,
+                     tuner=HMCDATuner(l=0.5), max_num_steps=128)
+        plan, reason = resolve_backend(kernel, XOR, 8192, 256, platform="tpu")
+        assert plan is None and "64" in reason
+        # at the cap the plan resolves and forwards the true value
+        kernel = HMC(xor_model(), step=0.05, num_steps=10,
+                     tuner=HMCDATuner(l=0.5), max_num_steps=64)
+        plan, _ = resolve_backend(kernel, XOR, 8192, 256, platform="tpu")
+        assert plan is not None and plan.kwargs["max_num_steps"] == 64
+
+
 class TestFallbackIdentity:
     def test_auto_equals_scan_off_tpu(self):
         # on CPU backend="auto" must be EXACTLY the scanned path
@@ -197,6 +279,22 @@ class TestTemperingDispatch:
                                    swap_scheme="even_odd")
         plan, reason = resolve_tempering(eo, XOR, 256, 64, platform="cpu")
         assert plan is None and "TPU" in reason
+
+    def test_default_scale_matches_inner_samplers(self):
+        # advisor round 4: the kernel's fallback proposal scale must match
+        # the scanned inner samplers' defaults (MALA step=0.1, MH scale=1.0)
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+        from eeyore_tpu.samplers.dispatch import resolve_tempering
+
+        mala = PowerPosteriorSampler(xor_model(), num_chains=8, sampler="MALA",
+                                     swap_scheme="even_odd")
+        plan, _ = resolve_tempering(mala, XOR, 256, 64, platform="tpu")
+        assert plan is not None and plan.kwargs["step"] == 0.1
+        mh = PowerPosteriorSampler(xor_model(), num_chains=8,
+                                   sampler="MetropolisHastings",
+                                   swap_scheme="even_odd")
+        plan, _ = resolve_tempering(mh, XOR, 256, 64, platform="tpu")
+        assert plan is not None and plan.kwargs["step"] == 1.0
 
     def test_run_auto_equals_scan_off_tpu(self):
         from eeyore_tpu.samplers import PowerPosteriorSampler
