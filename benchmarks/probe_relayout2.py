@@ -1,18 +1,23 @@
-"""End-to-end relayout probe: dense NUTS kernel + candidate chain-major
-relayouts, timed the same way validate_dense_nuts.py timed the 597M raw /
-261M dispatched gap (block on all jit outputs; the whole program completes
-together).
+"""End-to-end dispatch-overhead probe (round 5).
 
-Variants (all one jit around the same maker):
-  raw         — unstack_outputs=True, [kept, C, P] (round-4 "597M" contract)
-  dispatch_r4 — raw + swapaxes(0,1) -> [C, kept, P] (round-4 dispatch, ~261M)
-  xla2d       — unstack_outputs=False, free-reshape [kept*P, C], XLA .T,
-                free-reshape [C, kept, P]
-  pallas_TxN  — same but the transpose is a tiled Pallas kernel
-                (out tile [tn, tm] = in tile [tm, tn].T)
-  +accept     — winner + derived accepted flags (from kernel-native layout)
+Round 4 recorded a 597M-raw vs 231-261M-dispatched NUTS gap. Re-measured
+apples-to-apples (same elapsed-time denominator and SAME accounting:
+C * num_iters / s, the convention of validate_dense_nuts/summarize), the
+fused [kept,C,P]->[C,kept,P] transpose costs ~1%: the round-4 gap was
+mostly ACCOUNTING (the raw 597M counted all 2048 iterations including
+burn-in; the ad-hoc dispatch numbers counted the 1024 kept samples), plus
+the derived-accepted pass and dispatch-layer overheads. This probe
+decomposes what is actually left between the raw maker and the public
+``sample_chains(backend=...)`` path:
 
-Writes benchmarks/PROBE_RELAYOUT2.json.
+  raw           — jit(maker), [kept, C, P] outputs (the 597M-convention anchor)
+  raw_t         — + fused swapaxes -> [C, kept, P] (what run_kernel_backend jits)
+  raw_t_acc_kn  — + accepted derived from the KERNEL-NATIVE layout
+  raw_t_acc_cm  — + accepted derived from the chain-major output (round-4 way)
+  api_samples   — sample_chains(..., record_keys=("sample",), return_arrays=True)
+  api_accepted  — sample_chains(..., record_keys=("sample","accepted"), ...)
+
+Writes benchmarks/PROBE_RELAYOUT2.json. TPU.
 """
 
 import json
@@ -31,11 +36,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_eeyore")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-from jax.experimental import pallas as pl  # noqa: E402
-
 from validate_resident import mlp_model, xor_data  # noqa: E402
 
 from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense  # noqa: E402
+from eeyore_tpu.samplers import NUTS, sample_chains  # noqa: E402
 from eeyore_tpu.tuners.dual_averaging import HMCDATuner  # noqa: E402
 
 C = 32768
@@ -44,116 +48,92 @@ BURNIN = 1024
 KEPT = T - BURNIN
 STEP = 0.1
 MAX_DEPTH = 3
-REPEATS = 4
+REPEATS = 6
 
 OUT_PATH = Path(__file__).parent / "PROBE_RELAYOUT2.json"
 
 
-def pallas_t2d(a, tm, tn):
-    m, n = a.shape
-
-    def body(x_ref, o_ref):
-        o_ref[:, :] = x_ref[:, :].T
-
-    return pl.pallas_call(
-        body,
-        grid=(m // tm, n // tn),
-        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j))],
-        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i)),
-        out_shape=jax.ShapeDtypeStruct((n, m), a.dtype),
-    )(a)
+def bench(fn, *args, reps=REPEATS):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    del out
+    return best
 
 
 def main():
     model = mlp_model([2, 2, 1])
     P = model.num_params
     x, y = xor_data()
-    rows = P * 8
-    lanes = C // 8
-    M = KEPT * P
 
-    base_raw = make_resident_nuts_dense(
+    base = make_resident_nuts_dense(
         model, np.asarray(x), np.asarray(y), step=STEP, max_depth=MAX_DEPTH,
         num_iters=T, num_burnin_iters=BURNIN, chain_block=8192,
         tuner=HMCDATuner(d=0.8))
-
-    def native(seed, th):
-        return base_raw(seed, th, unstack_outputs=False)
-
     theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (C, P),
                                       dtype=jnp.float32)
 
-    variants = {}
-    variants["raw"] = jax.jit(lambda s, th: base_raw(s, th))
-    variants["dispatch_r4"] = jax.jit(
+    results = {"config": {"C": C, "iters": T, "kept": KEPT, "P": P,
+                          "depth": MAX_DEPTH},
+               "note": ("samples_per_s uses C*iters/s — the "
+                        "validate_dense_nuts summarize() convention the "
+                        "597M round-4 number used")}
+
+    def report(name, secs):
+        results[name] = {"s": round(secs, 5),
+                         "samples_per_s": round(C * T / secs / 1e6, 1),
+                         "kept_per_s": round(C * KEPT / secs / 1e6, 1)}
+        print(name, results[name], flush=True)
+
+    report("raw", bench(jax.jit(lambda s, th: base(s, th)), 7, theta0s))
+    report("raw_t", bench(jax.jit(
         lambda s, th: (lambda o: (jnp.swapaxes(o[0], 0, 1),) + o[1:])(
-            base_raw(s, th)))
+            base(s, th))), 7, theta0s))
 
-    def with_relayout(tr):
-        def fn(s, th):
-            samples, final, acc, div = native(s, th)
-            cm = tr(samples.reshape(M, C)).reshape(C, KEPT, P)
-            return cm, final, acc, div
-        return jax.jit(fn)
+    base_native = make_resident_nuts_dense(
+        model, np.asarray(x), np.asarray(y), step=STEP, max_depth=MAX_DEPTH,
+        num_iters=T, num_burnin_iters=BURNIN, chain_block=8192,
+        tuner=HMCDATuner(d=0.8), unstack_outputs=False)
 
-    variants["xla2d"] = with_relayout(lambda a: a.T)
-    for tm, tn in [(256, 256), (256, 512), (512, 256), (128, 512),
-                   (512, 1024), (1024, 512)]:
-        if M % tm == 0 and C % tn == 0:
-            variants[f"pallas_{tm}x{tn}"] = with_relayout(
-                lambda a, tm=tm, tn=tn: pallas_t2d(a, tm, tn))
-
-    def accept_native(s, th):
-        samples, final, acc, div = native(s, th)
-        k = samples.reshape(KEPT, P, C)
-        cm = pallas_t2d(samples.reshape(M, C), 256, 512).reshape(C, KEPT, P)
-        moved = jnp.any(k[1:] != k[:-1], axis=1)          # [KEPT-1, C]
-        accepted = pallas_t2d(
-            jnp.concatenate([jnp.ones((1, C), jnp.float32),
-                             moved.astype(jnp.float32)]), 256, 512)
-        return cm, accepted, final, acc, div
-
-    variants["pallas_256x512_acc"] = jax.jit(accept_native)
-
-    def accept_cm(s, th):
-        samples, final, acc, div = native(s, th)
-        cm = pallas_t2d(samples.reshape(M, C), 256, 512).reshape(C, KEPT, P)
-        moved = jnp.any(cm[:, 1:, :] != cm[:, :-1, :], axis=-1)
+    def t_acc_kn(s, th):
+        samples, final, acc, div = base_native(s, th)
+        # kernel-native [kept, P*8, lanes]: free view [kept, P, C]
+        kn = samples.reshape(KEPT, P, C)
+        cm = samples.reshape(KEPT * P, C).T.reshape(C, KEPT, P)
+        moved = jnp.any(kn[1:] != kn[:-1], axis=1)        # [KEPT-1, C]
         accepted = jnp.concatenate(
-            [jnp.ones((C, 1), jnp.bool_), moved], axis=1)
+            [jnp.ones((1, C), jnp.bool_), moved]).T       # [C, KEPT]
         return cm, accepted, final, acc, div
 
-    variants["pallas_256x512_acc_cm"] = jax.jit(accept_cm)
+    report("raw_t_acc_kn", bench(jax.jit(t_acc_kn), 7, theta0s))
 
-    results = {"config": {"C": C, "kept": KEPT, "P": P, "depth": MAX_DEPTH}}
-    total = C * KEPT
-    for name, fn in variants.items():
-        try:
-            out = fn(7, theta0s)
-            jax.block_until_ready(out)
-            best = None
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                out = fn(7, theta0s)
-                jax.block_until_ready(out)
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
-            # sanity: chain-major variants must match raw's transposed slice
-            results[name] = {"s": round(best, 5),
-                             "samples_per_s": round(total / best / 1e6, 1)}
-            print(name, results[name], flush=True)
-            del out
-        except Exception as e:
-            results[name] = {"error": str(e)[:300]}
-            print(name, "FAILED", str(e)[:300], flush=True)
+    def t_acc_cm(s, th):
+        samples, final, acc, div = base(s, th)
+        cm = jnp.swapaxes(samples, 0, 1)
+        moved = jnp.any(cm[:, 1:, :] != cm[:, :-1, :], axis=-1)
+        accepted = jnp.concatenate([jnp.ones((C, 1), jnp.bool_), moved],
+                                   axis=1)
+        return cm, accepted, final, acc, div
 
-    # correctness: pallas relayout == swapaxes of raw
-    raw = variants["raw"](7, theta0s)[0]
-    cm = variants["pallas_256x512"](7, theta0s)[0]
-    ok = bool(jnp.array_equal(jnp.swapaxes(raw[:, :64, :], 0, 1),
-                              cm[:64]))
-    results["pallas_matches_raw"] = ok
-    print("pallas relayout matches raw:", ok)
+    report("raw_t_acc_cm", bench(jax.jit(t_acc_cm), 7, theta0s))
+
+    kernel = NUTS(model, step=STEP, max_depth=MAX_DEPTH, fixed_budget=True,
+                  tuner=HMCDATuner(d=0.8))
+    key = jax.random.PRNGKey(0)
+
+    def api(record_keys):
+        return sample_chains(kernel, key, theta0s, (x, y), T, BURNIN,
+                             record_keys=record_keys, return_arrays=True,
+                             backend="dense")
+
+    report("api_samples", bench(lambda: api(("sample",))))
+    report("api_accepted", bench(lambda: api(("sample", "accepted"))))
 
     OUT_PATH.write_text(json.dumps(results, indent=2))
     print("saved", OUT_PATH)

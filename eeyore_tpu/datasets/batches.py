@@ -55,13 +55,35 @@ class BatchSchedule:
         return self.x[idx], self.y[idx]
 
 
+# identity cache: repeated calls with the SAME x/y objects return the SAME
+# schedule object, so everything keyed on schedule identity downstream — the
+# scanned runner's jit cache (runner._cached_jit keys on id(schedule)) and
+# the dispatch layer's host-fetch cache — stays warm across calls instead of
+# retracing / re-fetching per call. Strong refs pin ids against recycling;
+# bounded, oldest-out.
+_SCHEDULE_CACHE_MAX = 16
+_schedule_cache = {}
+
+
 def as_schedule(data):
     """Normalize user data into a BatchSchedule: accepts a BatchSchedule, an
-    (x, y) tuple (full batch), or a dataset object with .x/.y."""
+    (x, y) tuple (full batch), or a dataset object with .x/.y. Repeated
+    calls with identical array OBJECTS return the same schedule object
+    (identity-cached), keeping downstream per-schedule jit caches warm."""
     if isinstance(data, BatchSchedule):
         return data
     if isinstance(data, tuple) and len(data) == 2:
-        return BatchSchedule.full_batch(*data)
-    if hasattr(data, "x") and hasattr(data, "y"):
-        return BatchSchedule.full_batch(data.x, data.y)
-    raise TypeError(f"cannot interpret {type(data)!r} as batch data")
+        x, y = data
+    elif hasattr(data, "x") and hasattr(data, "y"):
+        x, y = data.x, data.y
+    else:
+        raise TypeError(f"cannot interpret {type(data)!r} as batch data")
+    cache_key = (id(x), id(y))
+    hit = _schedule_cache.get(cache_key)
+    if hit is not None and hit[0] is x and hit[1] is y:
+        return hit[2]
+    schedule = BatchSchedule.full_batch(x, y)
+    if len(_schedule_cache) >= _SCHEDULE_CACHE_MAX:
+        _schedule_cache.pop(next(iter(_schedule_cache)))
+    _schedule_cache[cache_key] = (x, y, schedule)
+    return schedule

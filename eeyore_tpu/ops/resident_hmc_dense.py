@@ -31,7 +31,7 @@ from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
 def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                             num_burnin_iters=0, chain_block=8192, record_thin=1,
                             tuner=None, max_num_steps=64, unstack_outputs=True,
-                            tuner_mode="population"):
+                            tuner_mode="population", l_rounding="round"):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip in the dense
     layout. C must be a multiple of ``chain_block``; ``chain_block`` must be
@@ -54,12 +54,27 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
     per-lane masking (finished lanes freeze: zero position/momentum
     increments, so the re-evaluated value/grad are unchanged). With
     ``l=None`` the trajectory stays FIXED at ``num_steps`` (the round-2
-    behavior)."""
+    behavior).
+
+    ``l_rounding``: how the l-rule trajectory length is FROZEN at burn-in
+    end (reference rule being stabilized: hmcda_tuner.py:55-58
+    ``num_steps = max(1, round(l/e))``). 'round' (default) keeps the plain
+    round — sitting on a half-integer cliff (l/e = 7.5) flips the whole
+    block's trajectory length between seeds, the measured ~13% wall swing.
+    'stochastic' freezes each CHAIN to floor or ceil of l/e with
+    probability equal to the fractional part (mean trajectory exactly l,
+    block wall = ceil, stable across seeds — validated for the sublane
+    kernel in benchmarks/validate_dense_tuned.py, round 4)."""
     vg = make_vg_dense(model, x, y)
     P = model.num_params
     if tuner_mode not in ("population", "per_chain"):
         raise ValueError(f"unknown tuner_mode {tuner_mode!r}")
+    if l_rounding not in ("round", "stochastic"):
+        raise ValueError(f"l_rounding must be 'round' or 'stochastic', got "
+                         f"{l_rounding!r}")
     per_chain = tuner is not None and tuner_mode == "per_chain"
+    stoch_l = (tuner is not None and tuner.l is not None
+               and l_rounding == "stochastic")
     if chain_block % 1024:
         raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
     lane_block = chain_block // 8
@@ -79,6 +94,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
         stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
 
         per_chain_l = per_chain and tuner.l is not None
+        lane_n = per_chain_l or stoch_l  # trip counts may diverge per lane
         if per_chain:
             step0 = jnp.full(tile, step, dtype=jnp.float32)
             barh0 = jnp.zeros(tile, dtype=jnp.float32)
@@ -87,7 +103,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             step0 = jnp.float32(step)
             barh0 = jnp.float32(0.0)
             logbare0 = jnp.float32(0.0)
-        if per_chain_l:
+        if lane_n:
             n_steps0 = jnp.full(tile, num_steps, dtype=jnp.int32)
         else:
             n_steps0 = jnp.int32(num_steps)
@@ -103,7 +119,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
 
             p_half = tuple(mom[p] + (0.5 * cur_step) * grad[p] for p in range(P))
 
-            if per_chain_l:
+            if lane_n:
                 # lane-divergent trajectories: run to the block max with
                 # per-lane masking — finished lanes get zero increments, so
                 # the (recomputed) value/grad stay at their trajectory end
@@ -169,9 +185,22 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                 if not per_chain or per_chain_l:
                     # the l-rule: scalar in 'population' mode, a per-lane
                     # tile in 'per_chain' mode (block-max bounded leapfrog)
-                    new_n_steps = jnp.clip(
-                        jnp.round(tuner.l / new_step).astype(jnp.int32), 1,
-                        max_num_steps)
+                    ratio = tuner.l / new_step
+                    rounded = jnp.clip(
+                        jnp.round(ratio).astype(jnp.int32), 1, max_num_steps)
+                    if stoch_l:
+                        # freeze by per-chain stochastic rounding (docstring)
+                        n_lo = jnp.floor(ratio)
+                        frac = ratio - n_lo
+                        u = _uniform(tile)
+                        stoch_n = jnp.clip(
+                            n_lo.astype(jnp.int32) + (u < frac).astype(jnp.int32),
+                            1, max_num_steps)
+                        new_n_steps = jnp.where(
+                            last_burnin, stoch_n,
+                            jnp.broadcast_to(rounded, tile))
+                    else:
+                        new_n_steps = rounded
                     cur_n_steps = jnp.where(tune_now, new_n_steps, cur_n_steps)
 
             rec = jnp.logical_and(t >= num_burnin_iters,

@@ -77,6 +77,20 @@ def _data_fingerprint(x, y):
     return (x.shape, str(x.dtype), hash(x.tobytes()),
             y.shape, str(y.dtype), hash(y.tobytes()))
 
+
+def _host_batch0(schedule):
+    """Host copies of the schedule's full batch, cached ON the schedule:
+    each np.asarray on a device array is one tunnel round trip (~27 ms
+    measured, benchmarks/DISPATCH_COST.json) — the makers need host data
+    once (baked-in constants) and the cache key needs its bytes once; the
+    schedule identity cache (datasets.as_schedule) makes this stick across
+    repeated public-API calls with the same data objects."""
+    cached = getattr(schedule, "_host_batch0", None)
+    if cached is None:
+        cached = (np.asarray(schedule.x[0]), np.asarray(schedule.y[0]))
+        schedule._host_batch0 = cached
+    return cached
+
 _DENSE_BLOCKS = (8192, 4096, 2048, 1024)
 _RESIDENT_BLOCKS = (4096, 2048, 1024, 512, 256, 128)
 MAX_DISPATCH_PARAMS = 256
@@ -173,6 +187,7 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
                 hmc_kw["max_num_steps"] = int(kernel.max_num_steps)
             else:
                 hmc_kw["max_num_steps"] = min(int(kernel.max_num_steps), 64)
+            hmc_kw["l_rounding"] = getattr(kernel, "l_rounding", "round")
         if want_dense:
             from eeyore_tpu.ops.resident_hmc_dense import make_resident_hmc_dense
             cb = _pick_block(num_chains, _DENSE_BLOCKS)
@@ -191,9 +206,15 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
                      dict(chain_block=cb, **hmc_kw), cb), None
 
     if type(kernel) is NUTS:
-        if not kernel.fixed_budget:
+        # max_depth="auto" kernels dispatch as fixed-budget once the probe
+        # resolved their depth (fixed-budget == adaptive bit-identically at
+        # equal max_depth, so the probed depth cap is the only change)
+        auto_ok = (getattr(kernel, "auto_depth", False)
+                   and kernel._auto_fingerprint is not None)
+        if not kernel.fixed_budget and not auto_ok:
             return None, ("adaptive NUTS has data-dependent trees; only "
-                          "fixed_budget=True dispatches to the dense kernel")
+                          "fixed_budget=True (or max_depth='auto') "
+                          "dispatches to the kernels")
         if kernel.mass_adapt:
             return None, "the resident NUTS kernels run an identity metric only"
         nuts_kw = dict(step=float(kernel.step0), max_depth=kernel.max_depth,
@@ -278,8 +299,10 @@ def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
     schedule = as_schedule(data)
     if schedule.num_batches != 1:
         return fail("kernel backends run full-batch only")
-    x = np.asarray(schedule.x[0])
-    y = np.asarray(schedule.y[0])
+    # device arrays are fine here: plan selection reads SHAPES only (no
+    # host fetch — each one is a tunnel round trip)
+    x = schedule.x[0]
+    y = schedule.y[0]
     model = kernel.model
     try:
         from eeyore_tpu.ops.mlp_math import extract_arch
@@ -324,6 +347,13 @@ def _seed_from_key(key):
     return int(jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1)))
 
 
+def _device_seed(key):
+    """Kernel seed as a DEVICE scalar: the jitted wrappers take it traced,
+    so deriving it never synchronizes the host (int() on a fresh device
+    value is one tunnel round trip — benchmarks/DISPATCH_COST.json)."""
+    return jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1))
+
+
 def run_kernel_backend(kernel, key, theta0s, data, num_iters,
                        num_burnin_iters, plan, record_thin=1,
                        needs_accepted=True):
@@ -334,11 +364,10 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
     counts (and divergence sums for NUTS) plus the final states.
 
     ``needs_accepted=False`` skips the derived accepted flags (an
-    O(C x kept x P) comparison pass — callers recording only samples save
-    it; measured ~3x on the dense NUTS dispatch at 32k x 1024)."""
+    O(C x kept x P) comparison pass over the samples — callers recording
+    only samples save it)."""
     schedule = as_schedule(data)
-    x = np.asarray(schedule.x[0])
-    y = np.asarray(schedule.y[0])
+    x, y = _host_batch0(schedule)
     theta0s = jnp.asarray(theta0s, jnp.float32)
 
     cache = getattr(kernel, "_backend_cache", None)
@@ -350,7 +379,8 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
     # rebuilds instead of silently reusing a stale compiled kernel
     cache_key = (plan.maker.__name__, theta0s.shape, num_iters,
                  num_burnin_iters, record_thin, plan.chain_block,
-                 _data_fingerprint(x, y), _freeze(plan.kwargs))
+                 needs_accepted, _data_fingerprint(x, y),
+                 _freeze(plan.kwargs))
     if cache_key not in cache:
         base = plan.maker(kernel.model, x, y, **plan.kwargs)
         # dispatch always supplies chain-major [C, P] inits; say so for
@@ -358,35 +388,46 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
         base_kw = ({"dense_input": False}
                    if "dense_input" in inspect.signature(base).parameters
                    else {})
+        acc_kind = plan.acc_kind
 
         def wrapped(seed, th):
             out = base(seed, th, **base_kw)
-            # chain-major [C, kept, P] INSIDE the jit so XLA fuses this
-            # with the kernel's own unstack transpose (separate dispatches
-            # cost a second full pass over the samples)
-            return (jnp.swapaxes(out[0], 0, 1),) + tuple(out[1:])
+            # chain-major [C, kept, P] INSIDE the jit so XLA fuses this with
+            # the kernel's own unstack transpose; likewise the derived
+            # accepted flags — fused into the same program both are free
+            # next to the kernel (benchmarks/PROBE_RELAYOUT2.json raw vs
+            # raw_t_acc_cm), while as separate dispatches each pays its own
+            # pass + tunnel dispatch
+            samples = jnp.swapaxes(out[0], 0, 1)
+            rest = tuple(out[1:])
+            if not needs_accepted:
+                return (samples,) + rest
+            # derived accepted: moved-vs-previous; when the kernel's acc
+            # output is a transition count (MH/MALA/HMC, record_thin=1) the
+            # first kept row takes the count's remainder so mean(accepted)
+            # == acc/kept
+            acc = out[2]
+            moved = jnp.any(samples[:, 1:, :] != samples[:, :-1, :], axis=-1)
+            if acc_kind == "counts" and record_thin == 1:
+                first = jnp.clip(jnp.round(acc - moved.sum(axis=1)), 0, 1)
+            else:
+                first = jnp.ones(moved.shape[0], dtype=moved.dtype)
+            accepted = jnp.concatenate(
+                [first[:, None].astype(moved.dtype), moved],
+                axis=1).astype(jnp.int32)
+            return (samples, accepted) + rest
 
         cache[cache_key] = jax.jit(wrapped)
     fn = cache[cache_key]
 
-    out = fn(_seed_from_key(key), theta0s)
-    samples, final, acc = out[0], out[1], out[2]
+    out = fn(_device_seed(key), theta0s)
+    recorded = {"sample": out[0]}
+    if needs_accepted:
+        recorded["accepted"] = out[1]
+        out = out[:1] + out[2:]
+    final, acc = out[1], out[2]
     extras = out[3:]
     kept = (num_iters - num_burnin_iters) // record_thin
-    recorded = {"sample": samples}
-    if needs_accepted:
-        # derived accepted flags: moved-vs-previous; when the kernel's acc
-        # output is a transition count (MH/MALA/HMC, record_thin=1) the
-        # first kept row takes the count's remainder so mean(accepted) ==
-        # acc/kept
-        moved = jnp.any(samples[:, 1:, :] != samples[:, :-1, :], axis=-1)
-        if plan.acc_kind == "counts" and record_thin == 1:
-            first = jnp.clip(jnp.round(acc - moved.sum(axis=1)), 0, 1)
-        else:
-            first = jnp.ones(moved.shape[0], dtype=moved.dtype)
-        recorded["accepted"] = jnp.concatenate(
-            [first[:, None].astype(moved.dtype), moved],
-            axis=1).astype(jnp.int32)
     info = {"accept_counts": acc, "final": final, "kept": kept,
             "backend": plan.backend}
     if plan.extra_outputs:
@@ -431,7 +472,7 @@ def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
     extra = set(pp.sampler_kwargs) - {"step", "scale"}
     if extra:
         return fail(f"sampler_kwargs {sorted(extra)} not kernel-mappable")
-    x = np.asarray(schedule.x[0])
+    x = schedule.x[0]  # shape-only use: no host fetch
     model = pp.model
     try:
         from eeyore_tpu.ops.mlp_math import extract_arch
@@ -534,8 +575,10 @@ def run_smc_backend(smc, key, data, chain_block):
     from eeyore_tpu.ops.resident_smc import make_resident_smc
     from eeyore_tpu.samplers.smc import SMCState, log_ess
 
-    x = np.asarray(data[0], np.float32)
-    y = np.asarray(data[1], np.float32)
+    schedule = as_schedule(data)
+    x, y = _host_batch0(schedule)
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
 
     cache = getattr(smc, "_backend_cache", None)
     if cache is None:
@@ -559,7 +602,7 @@ def run_smc_backend(smc, key, data, chain_block):
             base_log_pdf=smc.base_log_pdf)
     runner = cache[cache_key]
 
-    particles, log_w, diags = runner(_seed_from_key(key))
+    particles, log_w, diags = runner(_device_seed(key))
     num_stages = int(diags.get("num_stages", len(np.asarray(diags["beta"]))))
     final_beta = float(diags.get("final_beta", 1.0))
     ess = float(diags.pop("final_weight_ess"))
@@ -590,18 +633,29 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
     from eeyore_tpu.chains import ChainLists
 
     schedule = as_schedule(data)
-    x = np.asarray(schedule.x[0])
-    y = np.asarray(schedule.y[0])
+    x, y = _host_batch0(schedule)
     L = int(pp.num_chains)
 
     cache = getattr(pp, "_backend_cache", None)
     if cache is None:
         cache = pp._backend_cache = {}
+    keep = plan.chain_block if all_ladders else L
     cache_key = (plan.maker.__name__, num_iters, num_burnin_iters,
-                 record_thin, plan.chain_block,
+                 record_thin, plan.chain_block, keep,
                  _data_fingerprint(x, y), _freeze(plan.kwargs))
     if cache_key not in cache:
-        cache[cache_key] = jax.jit(plan.maker(pp.model, x, y, **plan.kwargs))
+        base = plan.maker(pp.model, x, y, **plan.kwargs)
+
+        def wrapped(seed, theta0s):
+            samples, final, counts = base(seed, theta0s)
+            ladders = jnp.swapaxes(samples[:, :keep, :], 0, 1)  # [keep, kept, P]
+            moved = jnp.any(ladders[:, 1:, :] != ladders[:, :-1, :], axis=-1)
+            accepted = jnp.concatenate(
+                [jnp.ones((keep, 1), dtype=moved.dtype), moved],
+                axis=1).astype(jnp.int32)
+            return ladders, accepted
+
+        cache[cache_key] = jax.jit(wrapped)
     fn = cache[cache_key]
 
     theta0 = jnp.asarray(theta0, jnp.float32)
@@ -609,14 +663,7 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
         theta0s = jnp.broadcast_to(theta0, (plan.chain_block,) + theta0.shape)
     else:  # [L, P] per-rung inits, tiled across the block's ladders
         theta0s = jnp.tile(theta0, (plan.chain_block // L, 1))
-    samples, final, counts = fn(_seed_from_key(key), theta0s)
-
-    keep = plan.chain_block if all_ladders else L
-    ladders = jnp.swapaxes(samples[:, :keep, :], 0, 1)   # [keep, kept, P]
-    moved = jnp.any(ladders[:, 1:, :] != ladders[:, :-1, :], axis=-1)
-    accepted = jnp.concatenate(
-        [jnp.ones((keep, 1), dtype=moved.dtype), moved],
-        axis=1).astype(jnp.int32)
+    ladders, accepted = fn(_device_seed(key), theta0s)
     chains = ChainLists.from_arrays({"sample": np.asarray(ladders),
                                      "accepted": np.asarray(accepted)})
     return chains

@@ -122,6 +122,8 @@ class SamplerHarness:
         num_iters = self.counter.num_iters
         num_burnin = self.counter.num_burnin_iters
         _check_thin(num_iters, num_burnin, record_thin)
+        if getattr(kernel, "auto_depth", False):
+            kernel.resolve_auto_budget(schedule, key=self.key)
         kernel.recompute_current = schedule.num_batches != 1
         if hasattr(kernel, "num_burnin_iters"):
             kernel.num_burnin_iters = num_burnin

@@ -42,10 +42,19 @@ class HMC(TransitionKernel):
     needs_iteration = True
 
     def __init__(self, model, step=0.1, num_steps=10, tuner=None, max_num_steps=None,
-                 num_burnin_iters=0, recompute_current=False):
+                 num_burnin_iters=0, recompute_current=False, l_rounding="round"):
         super().__init__(model, recompute_current=recompute_current)
         self.step0 = step
         self.num_steps0 = num_steps
+        # how kernel backends freeze the tuner's l-rule trajectory length at
+        # burn-in end: 'round' = reference hmcda_tuner.py:55-58 semantics;
+        # 'stochastic' = per-chain floor/ceil (mean exactly l, seed-stable
+        # wall — ops/resident_hmc.py docstring). Scanned chains tune per
+        # chain and re-round every iteration, so only the kernels consume it.
+        if l_rounding not in ("round", "stochastic"):
+            raise ValueError(f"l_rounding must be 'round' or 'stochastic', "
+                             f"got {l_rounding!r}")
+        self.l_rounding = l_rounding
         if tuner is not None and tuner.l is None and type(self) is HMC:
             raise ValueError(
                 "HMC's dual-averaging tuner needs a target trajectory length: "

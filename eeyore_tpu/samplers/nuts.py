@@ -156,7 +156,18 @@ class NUTS(HMC):
         super().__init__(model, step=step, num_steps=1, tuner=tuner,
                          num_burnin_iters=num_burnin_iters,
                          recompute_current=recompute_current)
-        self.max_depth = int(max_depth)
+        # max_depth="auto": the budget is chosen by running the
+        # choose_max_depth warmup probe against the actual data the first
+        # time the kernel runs (runner.py calls resolve_auto_budget) —
+        # the reference's precedent of warmup heuristics living inside the
+        # sampler (reference hmc.py:38-77 init_step). The probed
+        # (depth, tuned step) freeze onto the kernel, and the kernel
+        # becomes eligible for FIXED-BUDGET dispatch (fixed-budget and
+        # adaptive NUTS draw bit-identical samples at equal max_depth, so
+        # the only semantic change is the probed depth cap itself).
+        self.auto_depth = isinstance(max_depth, str) and max_depth == "auto"
+        self._auto_fingerprint = None
+        self.max_depth = 10 if self.auto_depth else int(max_depth)
         # Stan-style diagonal metric warmup: Welford-estimate the posterior
         # variances over the second quarter of burn-in, freeze
         # M^-1 = regularized var at mid-burn-in (the remaining half re-tunes
@@ -175,6 +186,40 @@ class NUTS(HMC):
         # IDENTICAL samples to the adaptive form at equal max_depth
         # (tests/test_nuts.py pins this).
         self.fixed_budget = bool(fixed_budget)
+
+    def resolve_auto_budget(self, data, key=None, num_warmup=256,
+                            num_chains=16, quantile=0.95):
+        """Resolve ``max_depth="auto"``: run the :func:`choose_max_depth`
+        warmup probe ONCE per dataset and freeze the probed (depth, step)
+        onto this kernel. Idempotent per data fingerprint; no-op for
+        explicit depths. The runner calls this before any trace/dispatch."""
+        if not self.auto_depth:
+            return
+        from eeyore_tpu.datasets import as_schedule
+
+        schedule = as_schedule(data)
+        import numpy as _np
+        xb = _np.asarray(schedule.x[0])
+        yb = _np.asarray(schedule.y[0])
+        fp = (xb.shape, hash(xb.tobytes()), yb.shape, hash(yb.tobytes()))
+        if fp == self._auto_fingerprint:
+            return
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        d, e = choose_max_depth(
+            self.model, schedule, step=self.step0, num_warmup=num_warmup,
+            num_chains=num_chains, quantile=quantile,
+            key=jax.random.fold_in(key, 7919))
+        self.max_depth = d
+        self.step0 = e
+        if self.tuner is not None and self.tuner.e0 is None:
+            # warm-start the dual averager at the probed step instead of
+            # re-running find_initial_step
+            self.tuner.e0 = e
+        self._auto_fingerprint = fp
+        # stale-trace safety: the scanned jit cache baked the OLD depth
+        self._jit_cache = {}
+        self._backend_cache = {}
 
     def init(self, theta, x, y, key=None):
         theta = jnp.asarray(theta)

@@ -125,6 +125,8 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
     """
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
+    if getattr(kernel, "auto_depth", False):
+        kernel.resolve_auto_budget(schedule, key=key)
     if jit and backend != "scan":
         from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
 
@@ -183,6 +185,8 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
     """
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
+    if getattr(kernel, "auto_depth", False):
+        kernel.resolve_auto_budget(schedule, key=key)
     if jit and backend != "scan":
         from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
 

@@ -268,7 +268,9 @@ class SMCSampler:
 
             cb, _reason = resolve_smc(self, data, backend=backend)
             if cb is not None:
-                return run_smc_backend(self, key, (x, y), cb)
+                # pass the ORIGINAL data objects: the schedule identity
+                # cache keys on them, keeping the host-fetch cache warm
+                return run_smc_backend(self, key, data, cb)
         if self.adaptive:
             return self._run_adaptive(key, x, y, jit=jit)
 

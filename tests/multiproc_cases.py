@@ -63,3 +63,33 @@ def run_smc(mesh):
     particles, log_w, diags = run_smc_sharded(
         smc, jax.random.PRNGKey(22), data, mesh=mesh, axis_name="chains")
     return particles, log_w, diags["log_evidence"]
+
+
+def run_mlp_dispatch_refusal():
+    """Round-4 VERDICT item 8: a kernel-ELIGIBLE configuration (MLP model,
+    full batch, chain count divisible by 1024) under the CPU multiprocess
+    mesh must resolve backend="auto" to the scanned path — quietly, not as
+    an error — and actually produce chains through it."""
+    from eeyore_tpu.models import MLP, loss_functions, mlp
+    from eeyore_tpu.samplers import MetropolisHastings, sample_chains
+    from eeyore_tpu.samplers.dispatch import resolve_backend
+
+    x = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
+    y = jnp.asarray([[0.0], [1.0], [1.0], [0.0]])
+    model = MLP(loss=loss_functions["binary_classification"],
+                hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+    kernel = MetropolisHastings(model, scale=0.1)
+
+    # the same config IS eligible on a TPU...
+    plan, _ = resolve_backend(kernel, (x, y), 1024, 8, platform="tpu")
+    assert plan is not None
+    # ...but under this process's CPU backend it must fall back with the
+    # TPU-requirement reason, not raise
+    plan, reason = resolve_backend(kernel, (x, y), 1024, 8, backend="auto")
+    assert plan is None and "TPU" in reason, reason
+
+    theta0s = 0.1 * jnp.ones((1024, model.num_params))
+    out = sample_chains(kernel, jax.random.PRNGKey(5), theta0s, (x, y),
+                        num_iters=8, return_arrays=True, backend="auto")
+    assert out["sample"].shape == (1024, 8, model.num_params)
+    return True

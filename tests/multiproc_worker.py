@@ -146,6 +146,11 @@ def main():
         # half of each of the two arrays lives here
         assert checked == cases.SMC_PARTICLES, checked
 
+        # --- dispatch x distributed interaction (round 5) ---
+        # a kernel-eligible MLP config under this CPU multiprocess backend
+        # must quietly resolve backend="auto" to scan, not error
+        assert cases.run_mlp_dispatch_refusal()
+
     print(f"[p{pid}] PASS", flush=True)
 
 

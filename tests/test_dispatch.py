@@ -77,6 +77,11 @@ class TestResolve:
         kernel = HMC(xor_model(), step=0.05, num_steps=10, tuner=tuner)
         plan, _ = resolve_backend(kernel, XOR, 1024, 256, platform="tpu")
         assert plan is not None and plan.kwargs["tuner"] is tuner
+        assert plan.kwargs["l_rounding"] == "round"
+        kernel = HMC(xor_model(), step=0.05, num_steps=10, tuner=tuner,
+                     l_rounding="stochastic")
+        plan, _ = resolve_backend(kernel, XOR, 1024, 256, platform="tpu")
+        assert plan is not None and plan.kwargs["l_rounding"] == "stochastic"
 
     def test_ineligible_falls_back(self):
         model = xor_model()

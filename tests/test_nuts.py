@@ -335,3 +335,61 @@ class TestChooseMaxDepth:
                                    num_chains=8, key=jax.random.PRNGKey(7))
         assert 1 <= d <= 6  # the XOR posterior uses depth 3-5 trees
         assert step > 0.0
+
+
+class TestAutoDepth:
+    """max_depth="auto": the choose_max_depth probe runs inside the sampler
+    the first time it sees data (reference precedent: init_step warmup runs
+    inside HMC, reference hmc.py:38-77) and the kernel becomes eligible for
+    fixed-budget dispatch."""
+
+    def _xor(self):
+        from eeyore_tpu.models import MLP, loss_functions, mlp
+
+        x = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
+        y = jnp.asarray([[0.0], [1.0], [1.0], [0.0]])
+        model = MLP(loss=loss_functions["binary_classification"],
+                    hparams=mlp.Hyperparameters(dims=[2, 2, 1]))
+        return model, (x, y)
+
+    def test_resolve_auto_budget_freezes_depth_and_step(self):
+        model, data = self._xor()
+        kernel = NUTS(model, step=0.1, max_depth="auto")
+        assert kernel.auto_depth and kernel.max_depth == 10
+        kernel.resolve_auto_budget(data, key=jax.random.PRNGKey(0),
+                                   num_warmup=64, num_chains=4)
+        assert isinstance(kernel.max_depth, int) and 1 <= kernel.max_depth <= 10
+        assert kernel.step0 > 0.0
+        fp = kernel._auto_fingerprint
+        assert fp is not None
+        # idempotent for the same data
+        d, s = kernel.max_depth, kernel.step0
+        kernel.resolve_auto_budget(data, key=jax.random.PRNGKey(9))
+        assert (kernel.max_depth, kernel.step0) == (d, s)
+
+    def test_auto_depth_dispatches_fixed_budget(self):
+        from eeyore_tpu.samplers.dispatch import resolve_backend
+
+        model, data = self._xor()
+        kernel = NUTS(model, step=0.1, max_depth="auto")
+        # unresolved: not eligible
+        plan, reason = resolve_backend(kernel, data, 8192, 256, platform="tpu")
+        assert plan is None
+        kernel.resolve_auto_budget(data, key=jax.random.PRNGKey(0),
+                                   num_warmup=64, num_chains=4)
+        plan, reason = resolve_backend(kernel, data, 8192, 256, platform="tpu")
+        assert plan is not None, reason
+        assert plan.maker.__name__ == "make_resident_nuts_dense"
+        assert plan.kwargs["max_depth"] == kernel.max_depth
+
+    def test_sample_chains_runs_probe_automatically(self):
+        model, data = self._xor()
+        kernel = NUTS(model, step=0.1, max_depth="auto")
+        # pre-resolve with a small probe so the in-run hook is a no-op
+        kernel.resolve_auto_budget(data, key=jax.random.PRNGKey(1),
+                                   num_warmup=32, num_chains=2)
+        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(2),
+                                          (2, model.num_params))
+        out = sample_chains(kernel, jax.random.PRNGKey(3), theta0s, data,
+                            num_iters=8, return_arrays=True, backend="scan")
+        assert out["sample"].shape == (2, 8, model.num_params)
