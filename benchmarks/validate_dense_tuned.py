@@ -206,8 +206,61 @@ def iris_stability(seeds=(3, 5, 7, 11, 13), C=8192, T=1536, BURN=512):
     path.write_text(json.dumps(results, indent=2) + "\n")
 
 
+def dense_stability(seeds=(3, 5, 7, 11, 13), C=16384, T=1536, BURN=512):
+    """Round-5 VERDICT item 5: the dense HMC kernel gained the sublane
+    kernel's l_rounding='stochastic' per-chain floor/ceil freeze — tuned
+    XOR throughput must reproduce across seeds (the round-4 sublane
+    validation showed 0.63% spread stochastic vs ~13% on round()'s
+    half-integer cliff)."""
+    import time
+
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    xn, yn = np.asarray(x), np.asarray(y)
+    out = {}
+    for mode in ("round", "stochastic"):
+        # l/e0 = 7.5: exactly on the half-integer cliff
+        fn = jax.jit(make_resident_hmc_dense(
+            model, xn, yn, step=0.04, num_steps=8, num_iters=T,
+            num_burnin_iters=BURN, chain_block=8192,
+            tuner=HMCDATuner(l=0.3, e0=0.04, d=0.65), l_rounding=mode))
+        theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                          (C, model.num_params),
+                                          dtype=jnp.float32)
+        _, final, _ = fn(seeds[0], theta0s)
+        jax.block_until_ready(final)
+        sps, accs = [], []
+        for seed in seeds:
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, final, acc = fn(seed, theta0s)
+                jax.block_until_ready(final)
+                best = max(best, C * T / (time.perf_counter() - t0))
+            sps.append(best)
+            accs.append(float(np.asarray(acc).mean()) / (T - BURN))
+        spread = (max(sps) - min(sps)) / np.mean(sps)
+        out[mode] = {
+            "samples_per_s": [round(s, 1) for s in sps],
+            "spread_frac": round(float(spread), 4),
+            "acceptance": [round(a, 4) for a in accs],
+            "acceptance_on_target": bool(abs(np.mean(accs) - 0.65) < 0.1),
+        }
+        print(json.dumps({mode: out[mode]}), flush=True)
+
+    out["stochastic_not_worse"] = bool(
+        out["stochastic"]["spread_frac"]
+        <= max(out["round"]["spread_frac"], 0.05))
+    path = Path(__file__).parent / "DENSE_RESULTS.json"
+    results = json.loads(path.read_text()) if path.exists() else {}
+    results["xor_dense_tuned_stability"] = out
+    path.write_text(json.dumps(results, indent=2) + "\n")
+
+
 if __name__ == "__main__":
     if "--iris-stability" in sys.argv:
         iris_stability()
+    elif "--dense-stability" in sys.argv:
+        dense_stability()
     else:
         main()

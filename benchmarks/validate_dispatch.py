@@ -153,6 +153,36 @@ def tempering_check():
                         "cold_mean_norm": round(float(np.linalg.norm(cold.mean(0))), 4),
                         "cold_var_mean": round(float(cold.var(0).mean()), 4)}
         print(json.dumps({f"tempering_{tag}": results[tag]}), flush=True)
+    # round 5: all_ladders=True returns every ladder the block computed —
+    # same kernel run, chain_block/L independent ladders for cross-ladder
+    # diagnostics (multi_rhat per rung) with no extra device work
+    pp_all = PowerPosteriorSampler(mlp_model([2, 2, 1]), num_chains=8,
+                                   sampler="MALA",
+                                   sampler_kwargs={"step": 0.05},
+                                   between_step=10, swap_scheme="even_odd")
+    chains_all = pp_all.run(jax.random.PRNGKey(0), 0.1 * jnp.ones(9),
+                            (x, y), 2048, 1024, all_ladders=True)
+    t0 = time.perf_counter()
+    chains_all = pp_all.run(jax.random.PRNGKey(0), 0.1 * jnp.ones(9),
+                            (x, y), 2048, 1024, all_ladders=True)
+    wall_all = time.perf_counter() - t0
+    n_all = chains_all.num_chains()
+    # cold rungs sit last within each 8-chain ladder: cross-ladder rhat
+    # on a 64-ladder subset (INSE mc_cov per chain — keep the host side
+    # proportionate)
+    from eeyore_tpu import stats as st
+    cold = np.stack([np.asarray(chains_all.get_chain(g * 8 + 7, key="sample"),
+                                np.float64) for g in range(64)])
+    rhat = float(np.max(st.multi_rhat(cold)))
+    results["all_ladders"] = {
+        "num_chains": int(n_all),
+        "num_ladders": int(n_all // 8),
+        "wall_s": round(wall_all, 4),
+        "cold_rung_max_rhat": round(rhat, 4),
+        "effective_ladder_iters_per_s": round(
+            (n_all // 8) * 2048 / wall_all, 1),
+    }
+    print(json.dumps({"all_ladders": results["all_ladders"]}), flush=True)
     results["speedup"] = round(results["auto"]["ladder_iters_per_s"]
                                / results["scan"]["ladder_iters_per_s"], 2)
     # cold-chain second moments agree loosely (different PRNG, 1 ladder of
@@ -166,8 +196,72 @@ def tempering_check():
     OUT.write_text(json.dumps(existing, indent=2) + "\n")
 
 
+def nuts_gap_check():
+    """Round-5 VERDICT item 1 'done' criterion: the dispatched NUTS rate
+    must sit within ~10% of the raw maker's — measured at the SAME wall
+    accounting (C * num_iters / s; the round-4 597M-vs-261M gap mixed
+    denominators, see docs/PERF_NOTES.md round 5)."""
+    from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
+    from eeyore_tpu.samplers import NUTS
+    from eeyore_tpu.tuners.dual_averaging import HMCDATuner
+
+    model = mlp_model([2, 2, 1])
+    x, y = xor_data()
+    C, T, BURN = 32768, 2048, 1024
+    base = make_resident_nuts_dense(
+        model, np.asarray(x), np.asarray(y), step=0.1, max_depth=3,
+        num_iters=T, num_burnin_iters=BURN, chain_block=8192,
+        tuner=HMCDATuner(d=0.8))
+    raw_fn = jax.jit(lambda s, th: base(s, th))
+    theta0s = 0.1 * jax.random.normal(jax.random.PRNGKey(0),
+                                      (C, model.num_params), jnp.float32)
+
+    def wall(f, reps=4):
+        out = f()
+        jax.block_until_ready(out)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f()
+            jax.block_until_ready(out)
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return best
+
+    raw_s = wall(lambda: raw_fn(7, theta0s))
+    kernel = NUTS(model, step=0.1, max_depth=3, fixed_budget=True,
+                  tuner=HMCDATuner(d=0.8))
+    key = jax.random.PRNGKey(0)
+
+    def api(keys):
+        return sample_chains(kernel, key, theta0s, (x, y), T, BURN,
+                             record_keys=keys, return_arrays=True,
+                             backend="dense")
+
+    api_sample_s = wall(lambda: api(("sample",)))
+    api_acc_s = wall(lambda: api(("sample", "accepted")))
+    out = {
+        "raw_sps": round(C * T / raw_s, 1),
+        "api_samples_sps": round(C * T / api_sample_s, 1),
+        "api_accepted_sps": round(C * T / api_acc_s, 1),
+        "api_over_raw": round(raw_s / api_sample_s, 3),
+        "api_accepted_over_raw": round(raw_s / api_acc_s, 3),
+        "gap_closed": bool(api_sample_s < raw_s * 1.1
+                           and api_acc_s < raw_s * 1.15),
+    }
+    print(json.dumps({"nuts_dispatch_gap": out}), flush=True)
+    existing = json.loads(OUT.read_text()) if OUT.exists() else {}
+    existing["nuts_dispatch_gap"] = out
+    # the ad-hoc round-4 entries used a different denominator; superseded
+    existing.pop("nuts_fixed_dispatch_32k", None)
+    existing.pop("nuts_fixed_dispatch_32k_samples_only", None)
+    OUT.write_text(json.dumps(existing, indent=2) + "\n")
+
+
 if __name__ == "__main__":
     if "--tempering" in sys.argv:
         tempering_check()
+    elif "--nuts" in sys.argv:
+        nuts_gap_check()
     else:
         main()

@@ -230,6 +230,95 @@ def mixture_case():
     return out
 
 
+def dispatch_case():
+    """Round-4 VERDICT item 3: SMCSampler.run(backend='auto') reaches the
+    resident whole-anneal driver through the PUBLIC API — both the
+    architecture-model path (banknotes LR) and the generic per-lane-vg
+    path (bimodal DistributionModel, previously extract_arch-gated out).
+    Evidence must match the scanned path."""
+    from eeyore_tpu.samplers.dispatch import resolve_smc
+
+    out = {}
+
+    # -- banknotes LR, adaptive ladder, public API --
+    model, x, y = lr_model_and_data()
+    smc = SMCSampler(model, num_particles=N, betas="adaptive",
+                     num_mutation_steps=MSTEPS, mutation="MALA",
+                     mutation_step=MUT_STEP)
+    cb, reason = resolve_smc(smc, (x, y))
+    assert cb is not None, reason
+    key = jax.random.PRNGKey(1)
+    state, diags = smc.run(key, (x, y))           # compile
+    t0 = time.perf_counter()
+    state, diags = smc.run(key, (x, y))
+    auto_s = time.perf_counter() - t0
+    state_s, diags_s = smc.run(key, (x, y), backend="scan")
+    out["banknotes_lr"] = {
+        "chain_block": cb,
+        "stages_auto": int(diags.get("num_stages",
+                                     len(np.asarray(diags["beta"])))),
+        "stages_scan": int(diags_s["num_stages"]),
+        "auto_wall_s": round(auto_s, 3),
+        "log_evidence_auto": round(float(diags["log_evidence"]), 3),
+        "log_evidence_scan": round(float(diags_s["log_evidence"]), 3),
+        "evidence_gap": round(abs(float(diags["log_evidence"])
+                                  - float(diags_s["log_evidence"])), 3),
+        "final_ess_auto": round(float(state.ess), 1),
+    }
+    print(json.dumps({"lr_dispatch": out["banknotes_lr"]}), flush=True)
+
+    # -- bimodal mixture (DistributionModel + generic vg) --
+    mu, s, base_scale = 3.0, 0.25, 3.0
+
+    def log_mix(t):
+        d1 = t - jnp.asarray([mu, 0.0])
+        d2 = t + jnp.asarray([mu, 0.0])
+        c = -jnp.log(2 * jnp.pi * s * s) - jnp.log(2.0)
+        return jnp.logaddexp(c - 0.5 * jnp.dot(d1, d1) / (s * s),
+                             c - 0.5 * jnp.dot(d2, d2) / (s * s))
+
+    def base_log_pdf(t):
+        return (-jnp.log(2 * jnp.pi * base_scale ** 2)
+                - 0.5 * jnp.dot(t, t) / base_scale ** 2)
+
+    dm = DistributionModel(lambda t, x, y: log_mix(t), num_params=2)
+    smc2 = SMCSampler(dm, num_particles=N, betas="adaptive",
+                      num_mutation_steps=MSTEPS, mutation="MALA",
+                      mutation_step=0.05, max_stages=60,
+                      init_sampler=lambda k, n: base_scale
+                      * jax.random.normal(k, (n, 2)),
+                      base_log_pdf=base_log_pdf)
+    data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+    cb2, reason2 = resolve_smc(smc2, data)
+    assert cb2 is not None, reason2
+    key2 = jax.random.PRNGKey(2)
+    state2, diags2 = smc2.run(key2, data)         # compile (generic vg!)
+    t0 = time.perf_counter()
+    state2, diags2 = smc2.run(key2, data)
+    auto2_s = time.perf_counter() - t0
+    w = np.asarray(jax.nn.softmax(jnp.asarray(state2.log_weights)),
+                   np.float64)
+    p = np.asarray(state2.particles, np.float64)
+    right_mass = float(w[p[:, 0] > 0].sum())
+    out["bimodal_mixture"] = {
+        "chain_block": cb2,
+        "stages": int(diags2["num_stages"]),
+        "auto_wall_s": round(auto2_s, 3),
+        "log_evidence": round(float(diags2["log_evidence"]), 4),
+        "true_log_evidence": 0.0,
+        "evidence_abs_err": round(abs(float(diags2["log_evidence"])), 4),
+        "right_mode_mass": round(right_mass, 4),
+        "generic_vg_path": True,
+    }
+    print(json.dumps({"mixture_dispatch": out["bimodal_mixture"]}),
+          flush=True)
+
+    existing = json.loads(OUT_PATH.read_text()) if OUT_PATH.exists() else {}
+    existing["public_api_dispatch"] = out
+    OUT_PATH.write_text(json.dumps(existing, indent=2) + "\n")
+    return out
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     existing = {}
@@ -240,6 +329,8 @@ def main():
     if which in ("mixture", "all"):
         existing["bimodal_mixture"] = mixture_case()
     OUT_PATH.write_text(json.dumps(existing, indent=2) + "\n")
+    if which in ("dispatch",):
+        dispatch_case()
 
 
 if __name__ == "__main__":

@@ -54,14 +54,19 @@ def _trailing_ones(n):
 def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                        num_burnin_iters=0, chain_block=256, record_thin=1,
                        tuner=None, stream=None, vmem_limit_bytes=None,
-                       mxu_layer0=None, matmul_precision=None):
+                       mxu_layer0=None, matmul_precision=None, inv_mass=None):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final
     [C, P], accept_sums [C], divergent_sums [C])`` running the whole
     fixed-budget NUTS loop on-chip in the sublane layout.
 
     Same tuner contract as the dense NUTS kernel: optional population
     dual averaging of one shared step on the block-mean trajectory
-    accept_stat (construct the HMCDATuner WITHOUT ``l``)."""
+    accept_stat (construct the HMCDATuner WITHOUT ``l``).
+
+    ``inv_mass``: optional FROZEN diagonal of M^-1 ([P] array), the
+    probe-and-freeze bridge for the scanned ``mass_adapt`` warmup —
+    shipped as a [P, 1] VMEM input (lane-broadcast against the [P, C]
+    state tiles, the same pattern as the prior's loc/ivar)."""
     x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = \
         prepare_data(model, x, y)
     if stream is None:
@@ -91,11 +96,26 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
     kept = (num_iters - num_burnin_iters) // record_thin
     step = float(step)
     NEG_INF = float("-inf")  # python float: pallas rejects captured jnp scalars
+    metric = inv_mass is not None
+    if metric:
+        import numpy as _np
+        im_arr = _np.asarray(inv_mass, _np.float32).reshape(P, 1)
+        if _np.any(im_arr <= 0):
+            raise ValueError("inv_mass must be positive")
+        msc_arr = 1.0 / _np.sqrt(im_arr)  # momentum scale sqrt(M)
 
     def kernel(seed_ref, theta_ref, x_ref, y_ref, mask_ref, loc_ref, ivar_ref,
-               samples_ref, final_ref, acc_ref, div_ref, stage_ref, dma_sem):
+               *rest):
+        if metric:
+            (im_ref, msc_ref, samples_ref, final_ref, acc_ref, div_ref,
+             stage_ref, dma_sem) = rest
+        else:
+            (samples_ref, final_ref, acc_ref, div_ref,
+             stage_ref, dma_sem) = rest
         i_blk = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i_blk)
+        imv = im_ref[:, :] if metric else None    # [P, 1]
+        mscv = msc_ref[:, :] if metric else None
 
         xv = x_ref[:, :]
         yv = y_ref[:, :]
@@ -128,16 +148,18 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
             r = m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
             return jnp.where(m == NEG_INF, m, r)
 
-        def dot(a, b):
-            return jnp.sum(a * b, axis=0, keepdims=True)   # [1, C]
+        def mdot(a, b):
+            """metric inner product sum_p M^-1[p] a[p] b[p] — [1, C]"""
+            t = (imv * a) * b if metric else a * b
+            return jnp.sum(t, axis=0, keepdims=True)
 
         def is_uturn(dtheta, r_left, r_right):
-            return jnp.logical_or(dot(dtheta, r_left) < 0.0,
-                                  dot(dtheta, r_right) < 0.0)
+            return jnp.logical_or(mdot(dtheta, r_left) < 0.0,
+                                  mdot(dtheta, r_right) < 0.0)
 
         def leapfrog(th, rho, g, step_s):
             rho = rho + (0.5 * step_s) * g
-            th = th + step_s * rho
+            th = th + step_s * (imv * rho if metric else rho)
             v, g = vg(th)
             rho = rho + (0.5 * step_s) * g
             return th, rho, v, g
@@ -155,7 +177,7 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
             for n in range(2 ** depth):
                 live = jnp.logical_not(turning | diverging)
                 th, rho, target, g = leapfrog(th, rho, g, step_s)
-                logp = target - 0.5 * dot(rho, rho)
+                logp = target - 0.5 * mdot(rho, rho)
                 w = logp - logp0
                 leaf_div = jnp.logical_not(w > -DIVERGENCE_THRESHOLD)
                 alpha = jnp.minimum(jnp.exp(w), 1.0)
@@ -191,7 +213,9 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
             theta, val, grad, step_s, barh, logbare = carry
 
             mom = _normal(theta.shape)
-            logp0 = val - 0.5 * dot(mom, mom)
+            if metric:
+                mom = mscv * mom                  # rho ~ N(0, M)
+            logp0 = val - 0.5 * mdot(mom, mom)
 
             th_l = th_r = theta
             r_l = r_r = mom
@@ -313,24 +337,33 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
         num_blocks = C // chain_block
         theta_t = theta0s.T                            # [P, C]
 
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((P, chain_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [jnp.asarray([seed], jnp.int32), theta_t,
+                jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
+                jnp.asarray(loc), jnp.asarray(ivar)]
+        if metric:
+            in_specs += [pl.BlockSpec((P, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            args += [jnp.asarray(im_arr), jnp.asarray(msc_arr)]
+
         samples, final, acc, div = pl.pallas_call(
             kernel,
             grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((P, chain_block), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, d_in), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, k_out), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_pad, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((P, chain_block), lambda i: (0, i),
@@ -354,9 +387,7 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=vmem_limit_bytes,
             ),
-        )(jnp.asarray([seed], jnp.int32), theta_t,
-          jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
-          jnp.asarray(loc), jnp.asarray(ivar))
+        )(*args)
         return (jnp.swapaxes(samples[:, :P, :], 1, 2), final.T,
                 acc[0], div[0])
 

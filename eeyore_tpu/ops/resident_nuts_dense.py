@@ -55,7 +55,8 @@ def _trailing_ones(n):
 
 def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
                              num_burnin_iters=0, chain_block=8192,
-                             record_thin=1, tuner=None, unstack_outputs=True):
+                             record_thin=1, tuner=None, unstack_outputs=True,
+                             inv_mass=None):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final
     [C, P], accept_sums [C], divergent_sums [C])`` running the whole
     fixed-budget NUTS loop on-chip in the dense layout.
@@ -71,9 +72,23 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
 
     ``tuner``: optional HMCDATuner for population dual-averaging of ONE
     shared step on the block-mean accept_stat during burn-in (construct
-    WITHOUT a trajectory length — NUTS chooses its own)."""
+    WITHOUT a trajectory length — NUTS chooses its own).
+
+    ``inv_mass``: optional FROZEN diagonal of M^-1 ([P] array) — the
+    probe-and-freeze bridge for the scanned sampler's ``mass_adapt``
+    warmup (samplers/nuts.py): momentum ~ N(0, M), kinetic/u-turn on
+    velocities M^-1 r, positions move at step * M^-1 r. Static per-param
+    constants, so the metric costs one fused multiply per tile op."""
     vg = make_vg_dense(model, x, y)
     P = model.num_params
+    if inv_mass is None:
+        im = None
+    else:
+        import numpy as _np
+        im = [float(v) for v in _np.asarray(inv_mass).reshape(P)]
+        if any(v <= 0.0 for v in im):
+            raise ValueError("inv_mass must be positive")
+        msc = [1.0 / math.sqrt(v) for v in im]  # momentum scale sqrt(M)
     if chain_block % 1024:
         raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
     D = int(max_depth)
@@ -104,15 +119,25 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
         r = m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
         return jnp.where(m == NEG_INF, m, r)
 
-    def dot(a_tiles, b_tiles):
-        acc = a_tiles[0] * b_tiles[0]
+    def mdot(a_tiles, b_tiles):
+        """sum_p inv_mass[p] * a[p] * b[p] — the metric inner product used
+        for kinetic energy and (velocity-space) u-turn checks; identity
+        metric folds to a plain dot."""
+        def term(p):
+            t = a_tiles[p] * b_tiles[p]
+            return t if im is None or im[p] == 1.0 else jnp.float32(im[p]) * t
+        acc = term(0)
         for p in range(1, P):
-            acc = acc + a_tiles[p] * b_tiles[p]
+            acc = acc + term(p)
         return acc
 
+    def vel(p, r):
+        """velocity component M^-1 r (position update direction)."""
+        return r if im is None or im[p] == 1.0 else jnp.float32(im[p]) * r
+
     def is_uturn(dtheta, r_left, r_right):
-        return jnp.logical_or(dot(dtheta, r_left) < 0.0,
-                              dot(dtheta, r_right) < 0.0)
+        return jnp.logical_or(mdot(dtheta, r_left) < 0.0,
+                              mdot(dtheta, r_right) < 0.0)
 
     def kernel(seed_ref, theta_ref, samples_ref, final_ref, acc_ref, div_ref,
                stage_ref, dma_sem):
@@ -132,7 +157,7 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
 
         def leapfrog(th, rho, g, step_s):
             rho = tuple(rho[p] + (0.5 * step_s) * g[p] for p in range(P))
-            th = tuple(th[p] + step_s * rho[p] for p in range(P))
+            th = tuple(th[p] + step_s * vel(p, rho[p]) for p in range(P))
             v, g = vg(th)
             g = tuple(g)
             rho = tuple(rho[p] + (0.5 * step_s) * g[p] for p in range(P))
@@ -153,7 +178,7 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
             for n in range(2 ** depth):
                 live = jnp.logical_not(turning | diverging)
                 th, rho, target, g = leapfrog(th, rho, g, step_s)
-                logp = target - 0.5 * dot(rho, rho)
+                logp = target - 0.5 * mdot(rho, rho)
                 w = logp - logp0
                 leaf_div = jnp.logical_not(w > -DIVERGENCE_THRESHOLD)  # NaN too
                 alpha = jnp.minimum(jnp.exp(w), 1.0)
@@ -191,7 +216,11 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
             theta, val, grad, acc, div, step_s, barh, logbare = carry
 
             mom = tuple(normal_tiles(P, tile))
-            logp0 = val - 0.5 * dot(mom, mom)
+            if im is not None:
+                # rho ~ N(0, M): scale standard normals by sqrt(M) = msc
+                mom = tuple(jnp.float32(msc[p]) * mom[p] if msc[p] != 1.0
+                            else mom[p] for p in range(P))
+            logp0 = val - 0.5 * mdot(mom, mom)
 
             th_l, r_l, g_l = theta, mom, grad
             th_r, r_r, g_r = theta, mom, grad

@@ -215,10 +215,15 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
             return None, ("adaptive NUTS has data-dependent trees; only "
                           "fixed_budget=True (or max_depth='auto') "
                           "dispatches to the kernels")
-        if kernel.mass_adapt:
-            return None, "the resident NUTS kernels run an identity metric only"
+        frozen_metric = getattr(kernel, "_frozen_inv_mass", None)
+        if kernel.mass_adapt and frozen_metric is None:
+            return None, ("mass_adapt needs a FROZEN metric for the kernels: "
+                          "use max_depth='auto' (the warmup probe freezes "
+                          "the diagonal) or the scanned path")
         nuts_kw = dict(step=float(kernel.step0), max_depth=kernel.max_depth,
                        tuner=kernel.tuner, **common)
+        if frozen_metric is not None:
+            nuts_kw["inv_mass"] = np.asarray(frozen_metric)
         if want_dense:
             from eeyore_tpu.ops.resident_nuts_dense import make_resident_nuts_dense
             cb = _pick_block(num_chains, _DENSE_BLOCKS)

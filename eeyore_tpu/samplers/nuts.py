@@ -88,7 +88,8 @@ class NUTSState(NamedTuple):
 
 def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
                      quantile=0.95, probe_max_depth=10, tuner=None, key=None,
-                     theta0s=None, dtype=None):
+                     theta0s=None, dtype=None, mass_adapt=False,
+                     return_metric=False):
     """Depth probe for fixed-budget NUTS: removes the hand-picked
     ``max_depth`` footgun (the 2^max_depth - 1 static budget pays for every
     level, so running the default 10 costs 1023 leapfrogs/transition when
@@ -105,6 +106,12 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     ``NUTS(..., max_depth=d, fixed_budget=True, step=e)`` (or
     ``tuner=HMCDATuner(e0=e)`` to keep tuning) or to
     ``ops.resident_nuts_dense.make_resident_nuts_dense``.
+
+    ``mass_adapt=True`` runs the probe with the Stan-style diagonal-metric
+    warmup; with ``return_metric=True`` the return gains a third element,
+    the chain-averaged FROZEN ``inv_mass`` diagonal ([P] f64) — feed it to
+    the kernels' ``inv_mass=`` (the probe-and-freeze bridge that makes
+    metric-needing targets kernel-eligible).
     """
     from eeyore_tpu.datasets import as_schedule
     from eeyore_tpu.samplers.runner import run_fn
@@ -116,7 +123,7 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     if tuner is None:
         tuner = HMCDATuner(d=0.8)
     kernel = NUTS(model, step=step, max_depth=probe_max_depth, tuner=tuner,
-                  num_burnin_iters=burnin)
+                  num_burnin_iters=burnin, mass_adapt=mass_adapt)
     kernel.recompute_current = schedule.num_batches != 1
     key_init, key_run = jax.random.split(key)
     if theta0s is None:
@@ -135,6 +142,9 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     d = int(math.ceil(float(np.quantile(depths, quantile))))
     d = max(1, min(d, probe_max_depth))
     tuned_step = float(np.asarray(state.step).mean())
+    if return_metric:
+        inv_mass = np.asarray(state.inv_mass, np.float64).mean(axis=0)
+        return d, tuned_step, inv_mass
     return d, tuned_step
 
 
@@ -167,6 +177,7 @@ class NUTS(HMC):
         # the only semantic change is the probed depth cap itself).
         self.auto_depth = isinstance(max_depth, str) and max_depth == "auto"
         self._auto_fingerprint = None
+        self._frozen_inv_mass = None  # set by resolve_auto_budget(mass_adapt)
         self.max_depth = 10 if self.auto_depth else int(max_depth)
         # Stan-style diagonal metric warmup: Welford-estimate the posterior
         # variances over the second quarter of burn-in, freeze
@@ -188,11 +199,13 @@ class NUTS(HMC):
         self.fixed_budget = bool(fixed_budget)
 
     def resolve_auto_budget(self, data, key=None, num_warmup=256,
-                            num_chains=16, quantile=0.95):
+                            num_chains=16, quantile=0.95, theta0s=None):
         """Resolve ``max_depth="auto"``: run the :func:`choose_max_depth`
         warmup probe ONCE per dataset and freeze the probed (depth, step)
         onto this kernel. Idempotent per data fingerprint; no-op for
-        explicit depths. The runner calls this before any trace/dispatch."""
+        explicit depths. The runner calls this before any trace/dispatch,
+        passing the run's own ``theta0s`` (required for prior-less
+        DistributionModel targets; otherwise inits draw from the prior)."""
         if not self.auto_depth:
             return
         from eeyore_tpu.datasets import as_schedule
@@ -206,10 +219,25 @@ class NUTS(HMC):
             return
         if key is None:
             key = jax.random.PRNGKey(0)
-        d, e = choose_max_depth(
+        if theta0s is None and not hasattr(self.model, "prior"):
+            raise ValueError(
+                "max_depth='auto' on a prior-less model needs probe inits: "
+                "pass theta0s to resolve_auto_budget (the samplers' runners "
+                "forward the run's own theta0s automatically)")
+        if theta0s is not None:
+            theta0s = jnp.asarray(theta0s)[:num_chains]
+        out = choose_max_depth(
             self.model, schedule, step=self.step0, num_warmup=num_warmup,
-            num_chains=num_chains, quantile=quantile,
-            key=jax.random.fold_in(key, 7919))
+            num_chains=num_chains, quantile=quantile, theta0s=theta0s,
+            key=jax.random.fold_in(key, 7919), mass_adapt=self.mass_adapt,
+            return_metric=self.mass_adapt)
+        if self.mass_adapt:
+            d, e, inv_mass = out
+            # probe-and-freeze: the kernels take the frozen diagonal as
+            # static constants; the scanned fallback keeps live mass_adapt
+            self._frozen_inv_mass = inv_mass
+        else:
+            d, e = out
         self.max_depth = d
         self.step0 = e
         if self.tuner is not None and self.tuner.e0 is None:

@@ -126,7 +126,10 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
     if getattr(kernel, "auto_depth", False):
-        kernel.resolve_auto_budget(schedule, key=key)
+        kernel.resolve_auto_budget(
+            schedule, key=key,
+            theta0s=jnp.asarray(theta0)[None]
+            if not hasattr(kernel.model, "prior") else None)
     if jit and backend != "scan":
         from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
 
@@ -186,7 +189,9 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
     schedule = as_schedule(data)
     _check_thin(num_iters, num_burnin_iters, record_thin)
     if getattr(kernel, "auto_depth", False):
-        kernel.resolve_auto_budget(schedule, key=key)
+        kernel.resolve_auto_budget(
+            schedule, key=key,
+            theta0s=theta0s if not hasattr(kernel.model, "prior") else None)
     if jit and backend != "scan":
         from eeyore_tpu.samplers.dispatch import resolve_backend, run_kernel_backend
 

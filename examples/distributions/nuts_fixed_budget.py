@@ -65,3 +65,21 @@ rec = sample_chains(auto, jax.random.PRNGKey(3), theta0s, data,
                     num_iters=500, num_burnin_iters=100, return_arrays=True)
 pooled2 = np.asarray(rec["sample"], dtype=np.float64).reshape(-1, 2)
 print(f"auto-budget pooled mean: {pooled2.mean(0).round(3)} (true [0, 0])")
+
+# Round 5: the probe is built in — max_depth="auto" runs choose_max_depth
+# the first time the kernel sees data (inside sample_chains), freezes
+# (depth, step), and on TPU dispatches straight onto the fixed-budget
+# Pallas kernels with no further ceremony
+# (benchmarks/AUTO_NUTS_RESULTS.json: 409M samples/s on XOR through this
+# exact one-liner path).
+auto2 = NUTS(model, step=0.4, max_depth="auto")
+# prior-less DistributionModel: give the probe its inits (MLP/logistic
+# models draw them from the prior automatically)
+auto2.resolve_auto_budget(data, key=jax.random.PRNGKey(4), num_warmup=200,
+                          theta0s=theta0s[:8])
+print(f"max_depth='auto': probed depth {auto2.max_depth}, "
+      f"step {auto2.step0:.3f}")
+rec3 = sample_chains(auto2, jax.random.PRNGKey(5), theta0s, data,
+                     num_iters=500, num_burnin_iters=100, return_arrays=True)
+pooled3 = np.asarray(rec3["sample"], dtype=np.float64).reshape(-1, 2)
+print(f"max_depth='auto' pooled mean: {pooled3.mean(0).round(3)} (true [0, 0])")

@@ -312,3 +312,69 @@ class TestTemperingDispatch:
                    backend="scan")
         np.testing.assert_array_equal(np.asarray(a.get_chain(3, key="sample")),
                                       np.asarray(b.get_chain(3, key="sample")))
+
+
+class TestSMCDispatch:
+    def test_bayesian_model_resolves(self):
+        from eeyore_tpu.samplers import SMCSampler
+        from eeyore_tpu.samplers.dispatch import resolve_smc
+
+        x, y = XOR
+        smc = SMCSampler(xor_model(), num_particles=4096, mutation="MALA")
+        cb, reason = resolve_smc(smc, (x, y), platform="tpu")
+        assert cb is not None and 4096 % cb == 0, reason
+        # off-TPU: quiet fallback
+        cb, reason = resolve_smc(smc, (x, y), platform="cpu")
+        assert cb is None and "TPU" in reason
+
+    def test_distribution_model_with_base_resolves(self):
+        from eeyore_tpu.samplers import SMCSampler
+        from eeyore_tpu.samplers.dispatch import resolve_smc
+
+        dm = DistributionModel(lambda t, x, y: -0.5 * t @ t, num_params=2)
+        smc = SMCSampler(dm, num_particles=2048, mutation="MH",
+                         init_sampler=lambda k, n: jax.random.normal(k, (n, 2)),
+                         base_log_pdf=lambda t: -0.5 * t @ t)
+        cb, reason = resolve_smc(smc, (jnp.zeros((1, 0)), jnp.zeros((1, 0))),
+                                 platform="tpu")
+        assert cb is not None, reason
+
+    def test_ineligible_cases(self):
+        from eeyore_tpu.samplers import SMCSampler
+        from eeyore_tpu.samplers.dispatch import resolve_smc
+
+        x, y = XOR
+        # particles not divisible by the smallest block
+        smc = SMCSampler(xor_model(), num_particles=1000)
+        cb, reason = resolve_smc(smc, (x, y), platform="tpu")
+        assert cb is None and "divisible" in reason
+        # explicit dense raises (SMC is resident-only)
+        smc = SMCSampler(xor_model(), num_particles=4096)
+        with pytest.raises(ValueError, match="resident"):
+            resolve_smc(smc, (x, y), platform="tpu", backend="dense")
+
+    def test_generic_vg_matches_scanned_math_on_cpu(self):
+        # the generic per-lane vg (ops/resident_smc.make_generic_vg) must
+        # reproduce the scanned SMC's potential/base split and grads —
+        # CPU-checked outside any kernel (the kernel only lowers it)
+        from eeyore_tpu.ops.resident_smc import make_generic_vg
+
+        def base(t):
+            return -0.5 * jnp.dot(t, t) / 9.0
+
+        dm = DistributionModel(
+            lambda t, x, y: -0.5 * jnp.dot(t - 1.0, t - 1.0), num_params=3)
+        vg = make_generic_vg(dm, np.zeros((1, 0)), np.zeros((1, 0)), base,
+                             with_grad=True)
+        theta = jnp.asarray(np.random.RandomState(0).randn(3, 8), jnp.float32)
+        ll, lp, gll, glp = vg(theta)
+        assert ll.shape == (1, 8) and gll.shape == (3, 8)
+        for j in range(8):
+            t = theta[:, j]
+            expect_ll = float(dm.log_target(t, None, None) - base(t))
+            expect_lp = float(base(t))
+            np.testing.assert_allclose(float(ll[0, j]), expect_ll, rtol=1e-5)
+            np.testing.assert_allclose(float(lp[0, j]), expect_lp, rtol=1e-5)
+            g_t = jax.grad(lambda v: dm.log_target(v, None, None) - base(v))(t)
+            np.testing.assert_allclose(np.asarray(gll[:, j]), np.asarray(g_t),
+                                       rtol=1e-4, atol=1e-5)
