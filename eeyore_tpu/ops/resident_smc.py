@@ -119,6 +119,79 @@ def make_generic_vg(model, x, y, base_log_pdf, with_grad):
     return vg
 
 
+def _ew_dot_general(a, b, dimension_numbers, **_):
+    """dot_general as broadcast-multiply + axis-sum. vmap over lanes turns a
+    user log-pdf's jnp.dot into BATCHED dot_generals Mosaic cannot lower
+    (malformed TPU_DotDimensionNumbers for batched 1D dots) — and at the
+    [P, chain_block] sizes here the MXU would lose anyway; elementwise VPU
+    forms are the right lowering. Common vmap shapes avoid transposes; the
+    general fallback uses the canonical (batch, free, contract) layout."""
+    (cl, cr), (bl, br) = dimension_numbers
+    cl, cr, bl, br = map(tuple, (cl, cr, bl, br))
+    la = [d for d in range(a.ndim) if d not in cl + bl]
+    lb = [d for d in range(b.ndim) if d not in cr + br]
+    if a.ndim == 0 or b.ndim == 0:
+        return a * b
+    if not la and not lb and bl == br and cl == cr:
+        # vmapped vector-vector dot: same layout both sides
+        out = a * b
+        return out.sum(axis=cl) if cl else out
+    if not cl and not la and bl == tuple(range(a.ndim)) \
+            and br == tuple(range(len(br))):
+        # vmapped scalar-times-array: lhs is batch-only
+        return a.reshape(a.shape + (1,) * len(lb)) * b
+    # general: operands to (batch, own-free, contract); singleton-expand
+    # the other side's free dims
+    a2 = jnp.transpose(a, bl + tuple(la) + cl)
+    b2 = jnp.transpose(b, br + tuple(lb) + cr)
+    nb, nla, nlb, nc = len(bl), len(la), len(lb), len(cl)
+    a3 = a2.reshape(a2.shape[:nb + nla] + (1,) * nlb + a2.shape[nb + nla:])
+    b3 = b2.reshape(b2.shape[:nb] + (1,) * nla + b2.shape[nb:])
+    prod = a3 * b3
+    if not nc:
+        return prod
+    return prod.sum(axis=tuple(range(prod.ndim - nc, prod.ndim)))
+
+
+def _eval_jaxpr_ew_dots(jaxpr, consts, *args):
+    """Interpret a jaxpr, rewriting every dot_general via _ew_dot_general
+    (including inside nested pjit/custom-derivative sub-jaxprs)."""
+    from jax._src import core as _core
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, _core.Literal) else env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        write(v, c)
+    for v, a in zip(jaxpr.invars, args):
+        write(v, a)
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name == "dot_general":
+            outs = [_ew_dot_general(*invals, **eqn.params)]
+        elif name in ("pjit", "closed_call", "custom_jvp_call",
+                      "custom_vjp_call", "custom_vjp_call_jaxpr"):
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            inner = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            sub_consts = (sub.consts if hasattr(sub, "consts")
+                          else [read(v) for v in inner.constvars])
+            outs = _eval_jaxpr_ew_dots(inner, sub_consts, *invals)
+        else:
+            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+            outs = eqn.primitive.bind(*subfuns, *invals, **bind_params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        for v, o in zip(eqn.outvars, outs):
+            write(v, o)
+    return [read(v) for v in jaxpr.outvars]
+
+
 def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
                                chain_block=4096, mutation="MALA",
                                base_log_pdf=None):
@@ -140,7 +213,28 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
     generic = base_log_pdf is not None
 
     if generic:
-        vg_generic = make_generic_vg(model, x, y, base_log_pdf, with_grad)
+        # Pallas kernels cannot capture array constants (CLAUDE.md note) —
+        # and a user's log-pdf closure freely CREATES them at every trace
+        # (jnp.asarray([mu, 0.0]) etc), so closure_convert can't help
+        # (re-tracing its pure function re-creates the constants). Instead
+        # trace the vg ONCE to a jaxpr, hoist that jaxpr's constvars, ship
+        # them as [1, size] VMEM inputs, and interpret the jaxpr in-kernel
+        # with eval_jaxpr (the ops re-trace into the kernel; the constants
+        # arrive as traced ref reads, never as captures).
+        vg_closed = make_generic_vg(model, x, y, base_log_pdf, with_grad)
+        example = jnp.zeros((model.num_params, chain_block), jnp.float32)
+        vg_jaxpr = jax.make_jaxpr(lambda th: tuple(vg_closed(th)))(example)
+        vg_consts = [np.asarray(c) for c in vg_jaxpr.consts]
+        for c in vg_consts:
+            if not np.issubdtype(c.dtype, np.floating):
+                raise ValueError(
+                    f"log-pdf closure captures a non-float constant "
+                    f"(dtype {c.dtype}); the kernel ships constants as f32 "
+                    "VMEM inputs — use floats or the scanned path")
+        const_shapes = [c.shape for c in vg_consts]
+        consts2d = [c.astype(np.float32).reshape(1, -1) for c in vg_consts]
+        def pure_vg(th, *cs):
+            return tuple(_eval_jaxpr_ew_dots(vg_jaxpr.jaxpr, list(cs), th))
     else:
         x_pad, y_pad, row_mask, loc, ivar, prior_const, temperature = prepare_data(model, x, y)
         if temperature != 1.0:
@@ -171,11 +265,19 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
         pot_ref[:, :] = ll
         acc_ref[:, :] = acc
 
-    def kernel_generic(seed_ref, beta_ref, theta_ref, final_ref, pot_ref,
-                       acc_ref):
+    def kernel_generic(seed_ref, beta_ref, theta_ref, *rest):
+        n_c = len(vg_consts)
+        const_refs = rest[:n_c]
+        final_ref, pot_ref, acc_ref = rest[n_c:]
         i_blk = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i_blk)
-        theta, ll, acc = _mutation_loop(vg_generic, beta_ref[0],
+        consts = [const_refs[i][:, :].reshape(const_shapes[i])
+                  for i in range(n_c)]
+
+        def vg(theta):
+            return pure_vg(theta, *consts)
+
+        theta, ll, acc = _mutation_loop(vg, beta_ref[0],
                                         theta_ref[:, :], step,
                                         num_mutation_steps, with_grad)
         final_ref[:, :] = theta
@@ -203,6 +305,10 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                # the generic path's vmapped intermediates are batch-first
+                # [cb, small]: lanes pad small->128, inflating scoped VMEM
+                # (measured 29M at cb=4096); give it headroom
+                vmem_limit_bytes=64 * 1024 * 1024 if generic else None,
             ),
         )
         if generic:
@@ -213,10 +319,12 @@ def make_resident_smc_mutation(model, x, y, step, num_mutation_steps,
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec((P, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                ],
+                ] + [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for c in consts2d],
                 **tile_specs,
             )(jnp.asarray([seed], jnp.int32), jnp.asarray([beta], jnp.float32),
-              theta_t)
+              theta_t, *[jnp.asarray(c) for c in consts2d])
         else:
             final, pot, acc = pl.pallas_call(
                 kernel,

@@ -94,6 +94,11 @@ def _host_batch0(schedule):
 _DENSE_BLOCKS = (8192, 4096, 2048, 1024)
 _RESIDENT_BLOCKS = (4096, 2048, 1024, 512, 256, 128)
 MAX_DISPATCH_PARAMS = 256
+# the NUTS kernels unroll the whole 2^depth - 1 leapfrog tree: program
+# size and compile time double per level (validated regime 3-5,
+# DENSE_NUTS_RESULTS.json depth_scaling; deeper programs have faulted the
+# compile service). Deeper budgets run the scanned engine.
+MAX_KERNEL_DEPTH = 5
 
 
 class _Plan:
@@ -215,6 +220,10 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
             return None, ("adaptive NUTS has data-dependent trees; only "
                           "fixed_budget=True (or max_depth='auto') "
                           "dispatches to the kernels")
+        if int(kernel.max_depth) > MAX_KERNEL_DEPTH:
+            return None, (f"max_depth={kernel.max_depth} > MAX_KERNEL_DEPTH="
+                          f"{MAX_KERNEL_DEPTH} (the kernels unroll 2^depth-1 "
+                          "leapfrogs; deep budgets run the scanned engine)")
         frozen_metric = getattr(kernel, "_frozen_inv_mass", None)
         if kernel.mass_adapt and frozen_metric is None:
             return None, ("mass_adapt needs a FROZEN metric for the kernels: "
@@ -566,7 +575,18 @@ def resolve_smc(smc, data, backend="auto", platform=None):
     elif smc.base_log_pdf is None or smc.init_sampler is None:
         return fail("non-Bayesian targets need init_sampler + base_log_pdf "
                     "for the kernel's geometric path")
-    cb = _pick_block(smc.num_particles, _RESIDENT_BLOCKS)
+    # the mutation kernel's unrolled forward holds [n_pad, block]
+    # activations in scoped VMEM: iris/banknotes-class data OOMs past
+    # block 1024 (~16MB limit; 4096 validated for tiny-n only). The
+    # generic per-lane path's batch-first [cb, small] intermediates pad
+    # lanes to 128 — cap it at 1024 too.
+    if smc._is_bayesian:
+        n_rows = np.asarray(data[0]).shape[0] if isinstance(
+            data[0], np.ndarray) else data[0].shape[0]
+        cap = 4096 if n_rows <= 32 else 1024
+    else:
+        cap = 1024
+    cb = _pick_block(smc.num_particles, _RESIDENT_BLOCKS, cap=cap)
     if cb is None:
         return fail("resident SMC needs particles divisible by 128")
     return cb, None

@@ -199,13 +199,23 @@ class NUTS(HMC):
         self.fixed_budget = bool(fixed_budget)
 
     def resolve_auto_budget(self, data, key=None, num_warmup=256,
-                            num_chains=16, quantile=0.95, theta0s=None):
+                            num_chains=16, quantile=0.95, theta0s=None,
+                            probe_max_depth=4):
         """Resolve ``max_depth="auto"``: run the :func:`choose_max_depth`
         warmup probe ONCE per dataset and freeze the probed (depth, step)
         onto this kernel. Idempotent per data fingerprint; no-op for
         explicit depths. The runner calls this before any trace/dispatch,
         passing the run's own ``theta0s`` (required for prior-less
-        DistributionModel targets; otherwise inits draw from the prior)."""
+        DistributionModel targets; otherwise inits draw from the prior).
+
+        ``probe_max_depth`` caps the probe's trees (Stan's max_treedepth
+        role): the dual averager tunes the step AGAINST the cap, so the
+        frozen budget is self-consistent with how the capped sampler
+        actually moved. The default 4 keeps the frozen kernel inside the
+        validated unroll regime (dispatch.MAX_KERNEL_DEPTH) — an uncapped
+        probe on a hard posterior happily returns depth 7+ (127+
+        leapfrogs/transition), which compiles for tens of minutes and
+        buys ~2x less ESS/s than the capped budget's larger step."""
         if not self.auto_depth:
             return
         from eeyore_tpu.datasets import as_schedule
@@ -229,6 +239,7 @@ class NUTS(HMC):
         out = choose_max_depth(
             self.model, schedule, step=self.step0, num_warmup=num_warmup,
             num_chains=num_chains, quantile=quantile, theta0s=theta0s,
+            probe_max_depth=probe_max_depth,
             key=jax.random.fold_in(key, 7919), mass_adapt=self.mass_adapt,
             return_metric=self.mass_adapt)
         if self.mass_adapt:

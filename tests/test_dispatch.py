@@ -124,8 +124,10 @@ class TestResolve:
             resolve_backend(HMC(model, step=0.05), XOR, 8192, 256,
                             platform="cpu", backend="dense")
         # round 4: NUTS gained a sublane variant — explicit "resident" now
-        # resolves instead of raising
-        plan, _ = resolve_backend(NUTS(model, step=0.1, fixed_budget=True),
+        # resolves instead of raising (round 5: depth must sit inside the
+        # kernel unroll gate)
+        plan, _ = resolve_backend(NUTS(model, step=0.1, max_depth=4,
+                                       fixed_budget=True),
                                   XOR, 8192, 256, platform="tpu",
                                   backend="resident")
         assert plan is not None and plan.maker.__name__ == "make_resident_nuts"
@@ -378,3 +380,27 @@ class TestSMCDispatch:
             g_t = jax.grad(lambda v: dm.log_target(v, None, None) - base(v))(t)
             np.testing.assert_allclose(np.asarray(gll[:, j]), np.asarray(g_t),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestNUTSDepthGate:
+    def test_deep_budgets_stay_scanned(self):
+        # the kernels unroll 2^depth - 1 leapfrogs: depth > MAX_KERNEL_DEPTH
+        # compiles for tens of minutes (and has faulted the compile
+        # service) — it must fall back to scan, not wedge the device
+        from eeyore_tpu.samplers.dispatch import MAX_KERNEL_DEPTH
+
+        kernel = NUTS(xor_model(), step=0.1, max_depth=7, fixed_budget=True)
+        plan, reason = resolve_backend(kernel, XOR, 8192, 256, platform="tpu")
+        assert plan is None and "MAX_KERNEL_DEPTH" in reason
+        kernel = NUTS(xor_model(), step=0.1, max_depth=MAX_KERNEL_DEPTH,
+                      fixed_budget=True)
+        plan, _ = resolve_backend(kernel, XOR, 8192, 256, platform="tpu")
+        assert plan is not None
+
+    def test_auto_probe_caps_depth(self):
+        from eeyore_tpu.samplers.dispatch import MAX_KERNEL_DEPTH
+
+        kernel = NUTS(xor_model(), step=0.1, max_depth="auto")
+        kernel.resolve_auto_budget(XOR, key=jax.random.PRNGKey(0),
+                                   num_warmup=32, num_chains=2)
+        assert kernel.max_depth <= MAX_KERNEL_DEPTH
