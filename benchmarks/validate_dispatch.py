@@ -173,7 +173,7 @@ def tempering_check():
     from eeyore_tpu import stats as st
     cold = np.stack([np.asarray(chains_all.get_chain(g * 8 + 7, key="sample"),
                                 np.float64) for g in range(64)])
-    rhat = float(np.max(st.multi_rhat(cold)))
+    rhat = float(st.multi_rhat(cold)[0])  # (psrf, ...) tuple
     results["all_ladders"] = {
         "num_chains": int(n_all),
         "num_ladders": int(n_all // 8),

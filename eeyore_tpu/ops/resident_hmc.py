@@ -35,7 +35,8 @@ STREAM_MIN_ROWS = 32
 def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=0,
                       chain_block=2048, record_thin=1, tuner=None, max_num_steps=64,
                       stream=None, vmem_limit_bytes=None, mxu_layer0=None,
-                      matmul_precision=None, l_rounding="round"):
+                      matmul_precision=None, l_rounding="round",
+                      record_extras=False):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip.
 
@@ -84,6 +85,8 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
                           temperature)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8  # sublane-aligned parameter rows for the HBM DMA
+    # record_extras packs val (row P) + moved flag (row P+1) into the stage
+    rows_rec = ((P + 2 + 7) // 8) * 8 if record_extras else P_pad
     n_pad, d_in = x_pad.shape
     k_out = y_pad.shape[1]
     kept = (num_iters - num_burnin_iters) // record_thin
@@ -118,7 +121,7 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         theta0 = theta_ref[:, :]
         val0, grad0 = vg(theta0)
         acc0 = jnp.zeros((1, theta0.shape[1]), dtype=jnp.float32)
-        stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, theta0.shape[1]), dtype=jnp.float32)
 
         step0 = jnp.float32(step)
         if stoch_l:
@@ -131,6 +134,7 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
 
         def iteration(t, carry):
             theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare = carry
+            theta_prev = theta
             mom = _normal(theta.shape)
             h_cur = -val + 0.5 * jnp.sum(mom * mom, axis=0, keepdims=True)
 
@@ -220,6 +224,10 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
             @pl.when(rec)
             def _():
                 stage_ref[:P, :] = theta
+                if record_extras:
+                    stage_ref[P:P + 1, :] = val
+                    moved = jnp.any(theta != theta_prev, axis=0, keepdims=True)
+                    stage_ref[P + 1:P + 2, :] = moved.astype(jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -263,12 +271,12 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
                 pl.BlockSpec((1, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, C), jnp.float32),
                 jax.ShapeDtypeStruct((P, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((P_pad, chain_block), jnp.float32),
+                pltpu.VMEM((rows_rec, chain_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -278,7 +286,11 @@ def make_resident_hmc(model, x, y, step, num_steps, num_iters, num_burnin_iters=
         )(jnp.asarray([seed], jnp.int32), theta_t,
           jnp.asarray(x_pad), jnp.asarray(y_pad), jnp.asarray(row_mask),
           jnp.asarray(loc), jnp.asarray(ivar))
-        # [kept, P_pad, C] -> [kept, C, P]
-        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc[0]
+        # [kept, rows_rec, C] -> [kept, C, P]
+        out = (jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc[0])
+        if record_extras:
+            out = out + (samples[:, P, :],
+                         samples[:, P + 1, :].astype(jnp.int32))
+        return out
 
     return fn

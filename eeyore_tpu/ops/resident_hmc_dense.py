@@ -31,7 +31,8 @@ from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
 def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                             num_burnin_iters=0, chain_block=8192, record_thin=1,
                             tuner=None, max_num_steps=64, unstack_outputs=True,
-                            tuner_mode="population", l_rounding="round"):
+                            tuner_mode="population", l_rounding="round",
+                            record_extras=False):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final [C, P],
     accept_counts [C])`` running the whole HMC loop on-chip in the dense
     layout. C must be a multiple of ``chain_block``; ``chain_block`` must be
@@ -79,6 +80,8 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
         raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
     lane_block = chain_block // 8
     rows = P * 8
+    # record_extras appends a val tile and a moved-flag tile to the stage
+    rows_rec = (P + 2) * 8 if record_extras else rows
     kept = (num_iters - num_burnin_iters) // record_thin
     step = float(step)
     tile = (8, lane_block)
@@ -91,7 +94,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
         theta0 = tuple(theta_ref[p * 8:(p + 1) * 8, :] for p in range(P))
         val0, grad0 = vg(theta0)
         acc0 = jnp.zeros(tile, dtype=jnp.float32)
-        stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, lane_block), dtype=jnp.float32)
 
         per_chain_l = per_chain and tuner.l is not None
         lane_n = per_chain_l or stoch_l  # trip counts may diverge per lane
@@ -111,6 +114,7 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
 
         def iteration(t, carry):
             theta, val, grad, acc, cur_step, cur_n_steps, barh, logbare = carry
+            theta_prev = theta
             mom = normal_tiles(P, tile)
             ke = mom[0] * mom[0]
             for p in range(1, P):
@@ -210,6 +214,13 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
             def _():
                 for p in range(P):
                     stage_ref[p * 8:(p + 1) * 8, :] = theta[p]
+                if record_extras:
+                    stage_ref[P * 8:(P + 1) * 8, :] = val
+                    moved = theta[0] != theta_prev[0]
+                    for p in range(1, P):
+                        moved = moved | (theta[p] != theta_prev[p])
+                    stage_ref[(P + 1) * 8:(P + 2) * 8, :] = moved.astype(
+                        jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -299,12 +310,12 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
                 pl.BlockSpec((8, lane_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((rows, lane_block), jnp.float32),
+                pltpu.VMEM((rows_rec, lane_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             input_output_aliases=io_aliases,
@@ -315,8 +326,12 @@ def make_resident_hmc_dense(model, x, y, step, num_steps, num_iters,
 
         if not unstack_outputs:
             return samples, final, acc
-        return (unstack_chains(samples, P),        # [kept, C, P]
-                unstack_chains(final, P),          # [C, P]
-                acc.reshape(-1))                   # [C]
+        if not record_extras:
+            return (unstack_chains(samples, P),        # [kept, C, P]
+                    unstack_chains(final, P),          # [C, P]
+                    acc.reshape(-1))                   # [C]
+        un = unstack_chains(samples, P + 2)            # [kept, C, P+2]
+        return (un[..., :P], unstack_chains(final, P), acc.reshape(-1),
+                un[..., P], un[..., P + 1].astype(jnp.int32))
 
     return fn

@@ -54,7 +54,8 @@ def _trailing_ones(n):
 def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                        num_burnin_iters=0, chain_block=256, record_thin=1,
                        tuner=None, stream=None, vmem_limit_bytes=None,
-                       mxu_layer0=None, matmul_precision=None, inv_mass=None):
+                       mxu_layer0=None, matmul_precision=None, inv_mass=None,
+                       record_extras=False):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final
     [C, P], accept_sums [C], divergent_sums [C])`` running the whole
     fixed-budget NUTS loop on-chip in the sublane layout.
@@ -85,6 +86,8 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                           prior_const, temperature)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8
+    # record_extras packs val (row P) + moved flag (row P+1) into the stage
+    rows_rec = ((P + 2 + 7) // 8) * 8 if record_extras else P_pad
     n_pad, d_in = x_pad.shape
     k_out = y_pad.shape[1]
     D = int(max_depth)
@@ -135,7 +138,7 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
         row = (1, C)
         val0, grad0 = vg(theta0)                       # [1, C], [P, C]
         zeros_row = jnp.zeros(row, dtype=jnp.float32)
-        stage_ref[:, :] = jnp.zeros((P_pad, C), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, C), dtype=jnp.float32)
 
         if tuner is not None:
             tuner_m = jnp.float32(math.log(10.0 * step))
@@ -211,6 +214,7 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
 
         def iteration(t, carry):
             theta, val, grad, step_s, barh, logbare = carry
+            theta_prev = theta
 
             mom = _normal(theta.shape)
             if metric:
@@ -308,6 +312,10 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
             @pl.when(rec)
             def _():
                 stage_ref[:P, :] = theta
+                if record_extras:
+                    stage_ref[P:P + 1, :] = val
+                    moved = jnp.any(theta != theta_prev, axis=0, keepdims=True)
+                    stage_ref[P + 1:P + 2, :] = moved.astype(jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -374,13 +382,13 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, C), jnp.float32),
                 jax.ShapeDtypeStruct((P, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((P_pad, chain_block), jnp.float32),
+                pltpu.VMEM((rows_rec, chain_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -388,7 +396,11 @@ def make_resident_nuts(model, x, y, step, max_depth, num_iters,
                 vmem_limit_bytes=vmem_limit_bytes,
             ),
         )(*args)
-        return (jnp.swapaxes(samples[:, :P, :], 1, 2), final.T,
-                acc[0], div[0])
+        out = (jnp.swapaxes(samples[:, :P, :], 1, 2), final.T,
+               acc[0], div[0])
+        if record_extras:
+            out = out + (samples[:, P, :],
+                         samples[:, P + 1, :].astype(jnp.int32))
+        return out
 
     return fn

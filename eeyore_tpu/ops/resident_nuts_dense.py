@@ -56,7 +56,7 @@ def _trailing_ones(n):
 def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
                              num_burnin_iters=0, chain_block=8192,
                              record_thin=1, tuner=None, unstack_outputs=True,
-                             inv_mass=None):
+                             inv_mass=None, record_extras=False):
     """Build ``fn(seed, theta0s [C, P]) -> (samples [kept, C, P], final
     [C, P], accept_sums [C], divergent_sums [C])`` running the whole
     fixed-budget NUTS loop on-chip in the dense layout.
@@ -99,6 +99,8 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
                          "the tuner without l (HMCDATuner())")
     lane_block = chain_block // 8
     rows = P * 8
+    # record_extras appends a val tile and a moved-flag tile to the stage
+    rows_rec = (P + 2) * 8 if record_extras else rows
     kept = (num_iters - num_burnin_iters) // record_thin
     step = float(step)
     tile = (8, lane_block)
@@ -150,7 +152,7 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
         zeros = jnp.zeros(tile, dtype=jnp.float32)
         acc0 = zeros
         div0 = zeros
-        stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, lane_block), dtype=jnp.float32)
 
         if tuner is not None:
             tuner_m = jnp.float32(math.log(10.0 * step))
@@ -214,6 +216,7 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
 
         def iteration(t, carry):
             theta, val, grad, acc, div, step_s, barh, logbare = carry
+            theta_prev = theta
 
             mom = tuple(normal_tiles(P, tile))
             if im is not None:
@@ -309,6 +312,13 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
             def _():
                 for p in range(P):
                     stage_ref[p * 8:(p + 1) * 8, :] = theta[p]
+                if record_extras:
+                    stage_ref[P * 8:(P + 1) * 8, :] = val
+                    moved = theta[0] != theta_prev[0]
+                    for p in range(1, P):
+                        moved = moved | (theta[p] != theta_prev[p])
+                    stage_ref[(P + 1) * 8:(P + 2) * 8, :] = moved.astype(
+                        jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -365,13 +375,13 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((8, total_lanes), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((rows, lane_block), jnp.float32),
+                pltpu.VMEM((rows_rec, lane_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -381,9 +391,14 @@ def make_resident_nuts_dense(model, x, y, step, max_depth, num_iters,
 
         if not unstack_outputs:
             return samples, final, acc, div
-        return (unstack_chains(samples, P),        # [kept, C, P]
-                unstack_chains(final, P),          # [C, P]
-                acc.reshape(-1),                   # [C]
-                div.reshape(-1))                   # [C]
+        if not record_extras:
+            return (unstack_chains(samples, P),        # [kept, C, P]
+                    unstack_chains(final, P),          # [C, P]
+                    acc.reshape(-1),                   # [C]
+                    div.reshape(-1))                   # [C]
+        un = unstack_chains(samples, P + 2)            # [kept, C, P+2]
+        return (un[..., :P], unstack_chains(final, P),
+                acc.reshape(-1), div.reshape(-1),
+                un[..., P], un[..., P + 1].astype(jnp.int32))
 
     return fn

@@ -36,9 +36,16 @@ from eeyore_tpu.ops.resident_hmc import STREAM_MIN_ROWS
 
 def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                    record_thin, iteration_factory, with_grad, acc_rows=1,
-                   consts=(), stream=None, mxu_layer0=None):
+                   consts=(), stream=None, mxu_layer0=None,
+                   record_extras=False):
     """Shared scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_rows]).
+
+    ``record_extras=True`` additionally records, per kept step, the
+    log-target value and an exact per-iteration moved/accepted flag —
+    PACKED into two extra stage rows of the same record DMA (zero extra
+    transfers; the sublane pad often absorbs them entirely). The return
+    gains ``(target_vals [kept, C], accepted [kept, C])`` at the end.
 
     ``iteration_factory(vg, const_vals, raw) -> (state_init, move)`` where
     ``raw = (x, y, mask, loc, ivar)`` are the loaded VMEM data values,
@@ -76,6 +83,8 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                           temperature, with_grad=with_grad)
     P = model.num_params
     P_pad = ((P + 7) // 8) * 8
+    # extras pack val (row P) and the moved flag (row P+1) into the stage
+    rows_rec = ((P + 2 + 7) // 8) * 8 if record_extras else P_pad
     n_pad, d_in = x_pad.shape
     k_out = y_pad.shape[1]
     kept = (num_iters - num_burnin_iters) // record_thin
@@ -109,10 +118,11 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
         theta0 = theta_ref[:, :]
         val0, grad0, aux0 = state_init(theta0)
         acc0 = jnp.zeros((acc_rows, theta0.shape[1]), dtype=jnp.float32)
-        stage_ref[:, :] = jnp.zeros((P_pad, theta0.shape[1]), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, theta0.shape[1]), dtype=jnp.float32)
 
         def iteration(t, carry):
             theta, val, grad, acc, aux = carry
+            theta_prev = theta
             # acceptance counters are post-burn-in (the scanned chains'
             # acceptance_rate semantics)
             gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
@@ -124,6 +134,11 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
             @pl.when(rec)
             def _():
                 stage_ref[:P, :] = theta
+                if record_extras:
+                    stage_ref[P:P + 1, :] = val
+                    moved = jnp.any(theta != theta_prev, axis=0,
+                                    keepdims=True)
+                    stage_ref[P + 1:P + 2, :] = moved.astype(jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -169,12 +184,12 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
                 pl.BlockSpec((acc_rows, chain_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, P_pad, C), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, C), jnp.float32),
                 jax.ShapeDtypeStruct((P, C), jnp.float32),
                 jax.ShapeDtypeStruct((acc_rows, C), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((P_pad, chain_block), jnp.float32),
+                pltpu.VMEM((rows_rec, chain_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -185,13 +200,18 @@ def _make_resident(model, x, y, num_iters, num_burnin_iters, chain_block,
           jnp.asarray(loc), jnp.asarray(ivar),
           *[jnp.asarray(c) for c in consts])
         acc_out = acc[0] if acc_rows == 1 else acc.T  # [C] or [C, acc_rows]
-        return jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc_out
+        out = (jnp.swapaxes(samples[:, :P, :], 1, 2), final.T, acc_out)
+        if record_extras:
+            out = out + (samples[:, P, :],                       # [kept, C]
+                         samples[:, P + 1, :].astype(jnp.int32))
+        return out
 
     return fn
 
 
 def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
-                       chain_block=2048, record_thin=1, stream=None):
+                       chain_block=2048, record_thin=1, stream=None,
+                       record_extras=False):
     """Whole-loop MALA: one fused value-and-grad per iteration, asymmetric
     Hastings correction, all state VMEM-resident."""
     step = float(step)
@@ -225,11 +245,12 @@ def make_resident_mala(model, x, y, step, num_iters, num_burnin_iters=0,
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=True,
-                          stream=stream)
+                          stream=stream, record_extras=record_extras)
 
 
 def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
-                     chain_block=2048, record_thin=1, stream=None):
+                     chain_block=2048, record_thin=1, stream=None,
+                     record_extras=False):
     """Whole-loop random-walk MH: symmetric iid-Normal proposal; value-only
     math (no backward pass at all)."""
     scale = float(scale)
@@ -254,12 +275,12 @@ def make_resident_mh(model, x, y, scale, num_iters, num_burnin_iters=0,
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False,
-                          stream=stream)
+                          stream=stream, record_extras=record_extras)
 
 
 def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
                         num_iters=1000, num_burnin_iters=0,
-                        chain_block=512, record_thin=1):
+                        chain_block=512, record_thin=1, record_extras=False):
     """Whole-loop blocked Metropolis-within-Gibbs (samplers/gibbs.py
     semantics; reference gibbs.py:73-96): one systematic sweep per iteration
     over the model's static node (sub-)blocks, each proposed with a
@@ -333,4 +354,5 @@ def make_resident_gibbs(model, x, y, scales=1.0, node_subblock_size=None,
     # vg (which must stay bit-identical to inc_init's op order anyway)
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory, with_grad=False,
-                          acc_rows=B, consts=(scaled_masks,), stream=False)
+                          acc_rows=B, consts=(scaled_masks,), stream=False,
+                          record_extras=record_extras)

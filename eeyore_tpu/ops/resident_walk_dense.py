@@ -30,7 +30,7 @@ from eeyore_tpu.ops.mlp_dense import make_vg_dense, stack_chains, unstack_chains
 
 def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
                          record_thin, iteration_factory, with_grad,
-                         acc_tiles=1, consts=()):
+                         acc_tiles=1, consts=(), record_extras=False):
     """Dense-layout scaffold: build fn(seed, theta0s [C, P]) ->
     (samples [kept, C, P], final [C, P], accept_counts [C] or [C, acc_tiles]).
 
@@ -51,6 +51,9 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
         raise ValueError(f"chain_block must be a multiple of 1024, got {chain_block}")
     lane_block = chain_block // 8
     rows = P * 8
+    # record_extras appends a val tile and a moved-flag tile to the record
+    # stage (host sees them as two extra pseudo-parameters)
+    rows_rec = (P + 2) * 8 if record_extras else rows
     kept = (num_iters - num_burnin_iters) // record_thin
     tile = (8, lane_block)
     consts = tuple(np.asarray(c, dtype=np.float32).reshape(1, lane_block)
@@ -70,10 +73,11 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
         val0, grad0 = init_out[0], init_out[1]
         extra0 = init_out[2] if len(init_out) > 2 else ()
         accs0 = tuple(jnp.zeros(tile, dtype=jnp.float32) for _ in range(acc_tiles))
-        stage_ref[:, :] = jnp.zeros((rows, lane_block), dtype=jnp.float32)
+        stage_ref[:, :] = jnp.zeros((rows_rec, lane_block), dtype=jnp.float32)
 
         def iteration(t, carry):
             theta, val, grad, accs, extra = carry
+            theta_prev = theta
             gate = jnp.where(t >= num_burnin_iters, 1.0, 0.0)
             theta, val, grad, accs, extra = move(theta, val, grad, accs, extra, gate, t)
 
@@ -84,6 +88,13 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
             def _():
                 for p in range(P):
                     stage_ref[p * 8:(p + 1) * 8, :] = theta[p]
+                if record_extras:
+                    stage_ref[P * 8:(P + 1) * 8, :] = val
+                    moved = theta[0] != theta_prev[0]
+                    for p in range(1, P):
+                        moved = moved | (theta[p] != theta_prev[p])
+                    stage_ref[(P + 1) * 8:(P + 2) * 8, :] = moved.astype(
+                        jnp.float32)
                 idx = (t - num_burnin_iters) // record_thin
                 dma = pltpu.make_async_copy(
                     stage_ref,
@@ -128,12 +139,12 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((kept, rows, total_lanes), jnp.float32),
+                jax.ShapeDtypeStruct((kept, rows_rec, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((rows, total_lanes), jnp.float32),
                 jax.ShapeDtypeStruct((acc_tiles * 8, total_lanes), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((rows, lane_block), jnp.float32),
+                pltpu.VMEM((rows_rec, lane_block), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -143,9 +154,13 @@ def _make_resident_dense(model, x, y, num_iters, num_burnin_iters, chain_block,
 
         acc_out = (acc.reshape(-1) if acc_tiles == 1
                    else acc.reshape(acc_tiles, 8 * total_lanes).T)  # [C, acc_tiles]
-        return (unstack_chains(samples, P),
-                unstack_chains(final, P),
-                acc_out)
+        if not record_extras:
+            return (unstack_chains(samples, P),
+                    unstack_chains(final, P),
+                    acc_out)
+        un = unstack_chains(samples, P + 2)   # [kept, C, P+2]
+        return (un[..., :P], unstack_chains(final, P), acc_out,
+                un[..., P], un[..., P + 1].astype(jnp.int32))
 
     return fn
 
@@ -179,7 +194,8 @@ def _population_dual_average(tuner, m_const, extra, mean_rate, t, num_burnin_ite
 
 
 def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
-                           chain_block=8192, record_thin=1, tuner=None):
+                           chain_block=8192, record_thin=1, tuner=None,
+                           record_extras=False):
     """Whole-loop random-walk MH, dense layout: symmetric iid-Normal
     proposal, value-only forward (no backward pass).
 
@@ -217,12 +233,14 @@ def make_resident_mh_dense(model, x, y, scale, num_iters, num_burnin_iters=0,
         return state_init, move
 
     return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
-                                chain_block, record_thin, factory, with_grad=False)
+                                chain_block, record_thin, factory,
+                                with_grad=False, record_extras=record_extras)
 
 
 def make_resident_gibbs_dense(model, x, y, scales=1.0, node_subblock_size=None,
                               num_iters=1000, num_burnin_iters=0,
-                              chain_block=8192, record_thin=1):
+                              chain_block=8192, record_thin=1,
+                              record_extras=False):
     """Whole-loop blocked Metropolis-within-Gibbs, dense layout (reference
     gibbs.py:73-96 semantics; same sweep/accept structure as
     resident_walk.make_resident_gibbs).
@@ -284,11 +302,13 @@ def make_resident_gibbs_dense(model, x, y, scales=1.0, node_subblock_size=None,
 
     return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
                                 chain_block, record_thin, factory,
-                                with_grad=False, acc_tiles=B)
+                                with_grad=False, acc_tiles=B,
+                                record_extras=record_extras)
 
 
 def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
-                             chain_block=8192, record_thin=1, tuner=None):
+                             chain_block=8192, record_thin=1, tuner=None,
+                             record_extras=False):
     """Whole-loop MALA, dense layout: one fused value-and-grad per iteration
     with the full asymmetric Hastings correction (cancelled Normal constants,
     as in resident_walk.make_resident_mala).
@@ -338,4 +358,5 @@ def make_resident_mala_dense(model, x, y, step, num_iters, num_burnin_iters=0,
         return state_init, move
 
     return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
-                                chain_block, record_thin, factory, with_grad=True)
+                                chain_block, record_thin, factory,
+                                with_grad=True, record_extras=record_extras)

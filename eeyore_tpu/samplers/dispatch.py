@@ -25,13 +25,17 @@ Backends:
 Statistical contract: the kernel backends use the on-core PRNG
 (ops/kernel_prng.py), so draws are statistically equivalent but NOT
 bit-matched to the scanned path's jax.random streams (device moment parity:
-benchmarks/validate_resident.py / validate_dense.py). Recorded keys are
-``sample`` plus a DERIVED ``accepted`` flag (sample[t] != sample[t-1] —
-exact for the continuous-proposal samplers at record_thin=1 except the
-first kept row, which is set from the kernel's true accept count); the
-scanned path's extra state keys (target_val, grad_val) are not recorded.
-Code that needs them, or bit-reproducibility against jax.random keys,
-should pass ``backend="scan"``.
+benchmarks/validate_resident.py / validate_dense.py). Recorded keys by
+default are ``sample`` plus a DERIVED ``accepted`` flag (sample[t] !=
+sample[t-1] — exact for the continuous-proposal samplers at record_thin=1
+except the first kept row, which is set from the kernel's true accept
+count). An EXPLICIT ``record_keys`` containing ``target_val`` switches the
+kernels to IN-KERNEL extras recording (round 5): the log-target value and
+an exact per-iteration moved flag are packed into spare rows of the same
+record DMA, so ``target_val`` and exact-at-any-thinning ``accepted`` cost
+no extra transfers. Other scanned-path state keys (grad_val, momentum, ...)
+are not recordable — requesting them falls back to scan. Code that needs
+bit-reproducibility against jax.random keys should pass ``backend="scan"``.
 """
 
 import inspect
@@ -48,8 +52,12 @@ from eeyore_tpu.ops.mlp_dense import MAX_DENSE_ROWS
 BACKENDS = ("auto", "scan", "resident", "dense")
 
 # keys the kernel backends can record; an EXPLICIT record_keys request for
-# anything else (target_val, grad_val, ...) forces the scanned path
-KERNEL_RECORD_KEYS = frozenset({"sample", "accepted"})
+# anything else (grad_val, momentum, ...) forces the scanned path.
+# target_val/accepted are recorded IN-KERNEL (round 5: packed into the
+# record stage's spare rows — exact per-iteration values at any thinning)
+# when explicitly requested; the default contract stays sample + derived
+# accepted to keep the hot path's record bandwidth minimal.
+KERNEL_RECORD_KEYS = frozenset({"sample", "accepted", "target_val"})
 
 
 def _freeze(v):
@@ -125,7 +133,7 @@ def _pick_block(num_chains, candidates, cap=None):
 
 
 def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
-                  record_thin, want_dense):
+                  record_thin, want_dense, record_extras=False):
     """Return a _Plan for the transition kernel, or a (False, reason)."""
     from eeyore_tpu.samplers.gibbs import Gibbs
     from eeyore_tpu.samplers.hmc import HMC
@@ -134,7 +142,7 @@ def _sampler_plan(kernel, x, y, num_chains, num_iters, num_burnin_iters,
     from eeyore_tpu.samplers.nuts import NUTS
 
     common = dict(num_iters=num_iters, num_burnin_iters=num_burnin_iters,
-                  record_thin=record_thin)
+                  record_thin=record_thin, record_extras=record_extras)
 
     if type(kernel) is MetropolisHastings:
         if not kernel.symmetric or not isinstance(kernel.kernel, NormalKernel):
@@ -299,12 +307,15 @@ def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
                              f"{reason}")
         return None, reason
 
+    record_extras = False
     if record_keys is not None:
         extra = set(record_keys) - KERNEL_RECORD_KEYS
         if extra:
             return fail(f"record_keys {sorted(extra)} not recordable by the "
                         f"kernel backends (they record "
                         f"{sorted(KERNEL_RECORD_KEYS)} only)")
+        # target_val turns on in-kernel extras recording (stage-row packed)
+        record_extras = "target_val" in record_keys
 
     platform = platform or jax.default_backend()
     if platform != "tpu":
@@ -350,7 +361,8 @@ def resolve_backend(kernel, data, num_chains, num_iters, num_burnin_iters=0,
                            f"{MAX_DENSE_ROWS}")
             continue
         plan, reason = _sampler_plan(kernel, x, y, num_chains, num_iters,
-                                     num_burnin_iters, record_thin, want_dense)
+                                     num_burnin_iters, record_thin, want_dense,
+                                     record_extras=record_extras)
         if plan is not None:
             return plan, None
         last_reason = reason
@@ -395,6 +407,7 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
                  num_burnin_iters, record_thin, plan.chain_block,
                  needs_accepted, _data_fingerprint(x, y),
                  _freeze(plan.kwargs))
+    want_extras = bool(plan.kwargs.get("record_extras", False))
     if cache_key not in cache:
         base = plan.maker(kernel.model, x, y, **plan.kwargs)
         # dispatch always supplies chain-major [C, P] inits; say so for
@@ -406,6 +419,8 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
 
         def wrapped(seed, th):
             out = base(seed, th, **base_kw)
+            if want_extras:
+                out, vals, flags = out[:-2], out[-2], out[-1]
             # chain-major [C, kept, P] INSIDE the jit so XLA fuses this with
             # the kernel's own unstack transpose; likewise the derived
             # accepted flags — fused into the same program both are free
@@ -414,6 +429,9 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
             # pass + tunnel dispatch
             samples = jnp.swapaxes(out[0], 0, 1)
             rest = tuple(out[1:])
+            if want_extras:
+                # in-kernel exact per-iteration values, [kept, C] -> [C, kept]
+                return (samples, flags.T, vals.T) + rest
             if not needs_accepted:
                 return (samples,) + rest
             # derived accepted: moved-vs-previous; when the kernel's acc
@@ -436,7 +454,11 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
 
     out = fn(_device_seed(key), theta0s)
     recorded = {"sample": out[0]}
-    if needs_accepted:
+    if want_extras:
+        recorded["accepted"] = out[1]
+        recorded["target_val"] = out[2]
+        out = out[:1] + out[3:]
+    elif needs_accepted:
         recorded["accepted"] = out[1]
         out = out[:1] + out[2:]
     final, acc = out[1], out[2]

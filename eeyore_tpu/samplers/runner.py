@@ -145,6 +145,9 @@ def sample_chain(kernel, key, theta0, data, num_iters, num_burnin_iters=0,
             recorded, info = run_kernel_backend(
                 kernel, key, theta0s, schedule, num_iters, num_burnin_iters,
                 plan, record_thin)
+            if record_keys is not None:
+                recorded = {k: v for k, v in recorded.items()
+                            if k in record_keys}
             chain = ChainList.from_arrays(
                 {k: np.asarray(v[0]) for k, v in recorded.items()})
             if not return_state:
@@ -208,6 +211,9 @@ def sample_chains(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
                 plan, record_thin,
                 needs_accepted=(record_keys is None
                                 or "accepted" in record_keys))
+            if record_keys is not None:
+                recorded = {k: v for k, v in recorded.items()
+                            if k in record_keys}
             if not return_state:
                 if return_arrays:
                     return recorded

@@ -153,8 +153,8 @@ class TestRecordKeysGate:
         model = xor_model()
         plan, reason = resolve_backend(
             MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
-            record_keys=("sample", "target_val"))
-        assert plan is None and "target_val" in reason
+            record_keys=("sample", "grad_val"))
+        assert plan is None and "grad_val" in reason
         # sample/accepted subsets stay eligible
         plan, _ = resolve_backend(
             MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
@@ -164,6 +164,20 @@ class TestRecordKeysGate:
             MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
             record_keys=("sample", "accepted"))
         assert plan is not None
+
+    def test_target_val_turns_on_in_kernel_extras(self):
+        # round 5: target_val is recorded IN-KERNEL (stage-row packed) —
+        # the request resolves to a kernel plan with record_extras=True
+        model = xor_model()
+        plan, reason = resolve_backend(
+            MALA(model, step=0.01), XOR, 8192, 256, platform="tpu",
+            record_keys=("sample", "target_val", "accepted"))
+        assert plan is not None, reason
+        assert plan.kwargs["record_extras"] is True
+        # default (no explicit request) keeps the lean record path
+        plan, _ = resolve_backend(MALA(model, step=0.01), XOR, 8192, 256,
+                                  platform="tpu")
+        assert plan is not None and plan.kwargs["record_extras"] is False
 
     def test_explicit_backend_raises_on_extra_keys(self):
         with pytest.raises(ValueError, match="record_keys"):
