@@ -67,7 +67,7 @@ class SamplerHarness:
             self.chain = ChainList(keys=self.kernel.state_keys)
 
     def run(self, num_epochs, num_burnin_epochs, verbose=False, verbose_step=100,
-            record_thin=1, backend="auto"):
+            record_thin=1, backend="auto", record_keys=None):
         """One jitted two-phase scan; epochs x batches iteration accounting.
 
         With no ``theta0`` given, the initial state is drawn from the model's
@@ -77,10 +77,13 @@ class SamplerHarness:
 
         ``backend="auto"`` routes eligible configs on TPU onto the
         whole-loop Pallas kernels (samplers/dispatch.py; kernel-backed
-        chains record sample/accepted only, draws statistically equivalent
-        but not bit-matched); "scan" forces the reference-shaped scanned
-        path. ``verbose=True`` implies the scanned path (in-flight segment
-        reporting needs host round-trips the kernels never make).
+        chains record sample + derived accepted by default — pass
+        ``record_keys=("sample", "accepted", "target_val")`` for in-kernel
+        exact extras, or keys beyond those for the scanned fallback; draws
+        statistically equivalent but not bit-matched); "scan" forces the
+        reference-shaped scanned path. ``verbose=True`` implies the scanned
+        path (in-flight segment reporting needs host round-trips the
+        kernels never make).
 
         ``verbose=True`` reports in-flight progress every ``verbose_step``
         iterations (the reference's per-draw wall-clock cadence,
@@ -100,6 +103,7 @@ class SamplerHarness:
                 self.kernel, self.key, self.theta0, self.schedule,
                 self.counter.num_iters, self.counter.num_burnin_iters,
                 return_state=True, record_thin=record_thin, backend=backend,
+                record_keys=record_keys,
             )
         runtime = time.perf_counter() - start
         if verbose:

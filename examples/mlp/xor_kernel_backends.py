@@ -71,6 +71,17 @@ def main(num_chains=8192, num_epochs=1024, burnin_epochs=512):
                         return_arrays=True)
     print("NUTS sample mean:", np.asarray(rec["sample"]).mean(axis=(0, 1)).round(3))
 
+    # round 5: explicitly requesting target_val turns on IN-KERNEL extras
+    # recording — exact per-iteration log-target values + accepted flags,
+    # packed into the record DMA's spare rows (no extra transfers)
+    rec = sample_chains(kernel, jax.random.PRNGKey(5), theta0s, (x, y),
+                        num_iters=num_epochs, num_burnin_iters=burnin_epochs,
+                        record_keys=("sample", "accepted", "target_val"),
+                        return_arrays=True)
+    print(f"in-kernel extras: mean log-target "
+          f"{float(np.asarray(rec['target_val']).mean()):.3f}, "
+          f"acceptance {float(np.asarray(rec['accepted']).mean()):.3f}")
+
 
 if __name__ == "__main__":
     main()
