@@ -60,7 +60,22 @@ def sample_population(kernel, key, theta0s, data, num_iters, num_burnin_iters=0,
         )
         return state, recorded
 
-    fn = jax.jit(run) if jit else run
+    if jit:
+        # per-kernel jit cache, like runner._cached_jit: repeated runs with
+        # the same iteration plan must reuse the compiled program instead
+        # of retracing a fresh closure each call (keyed on the schedule's
+        # identity — its arrays are baked in as constants; the entry keeps
+        # the schedule alive so ids cannot be recycled)
+        cache = getattr(kernel, "_pop_jit_cache", None)
+        if cache is None:
+            cache = kernel._pop_jit_cache = {}
+        cache_key = (id(schedule), num_iters, num_burnin_iters, record_keys,
+                     kernel.recompute_current)
+        if cache_key not in cache:
+            cache[cache_key] = (jax.jit(run), schedule)
+        fn = cache[cache_key][0]
+    else:
+        fn = run
     state, recorded = fn(key, jnp.asarray(theta0s))
 
     if return_arrays:

@@ -93,6 +93,22 @@ class SMCSampler:
         self.init_sampler = init_sampler
         self.base_log_pdf = base_log_pdf
 
+    def _cached_jit(self, tag, data, run_fn):
+        """Per-sampler jit cache: repeated runs over the same data objects
+        reuse the compiled anneal instead of retracing the whole
+        stage-scan closure every call (the data arrays are baked into the
+        trace as constants — keyed on their identity, held alive)."""
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        cache_key = (tag, id(data[0]), id(data[1]))
+        hit = cache.get(cache_key)
+        if hit is not None and hit[1] is data[0] and hit[2] is data[1]:
+            return hit[0]
+        fn = jax.jit(run_fn)
+        cache[cache_key] = (fn, data[0], data[1])
+        return fn
+
     # ---- tempered target pieces ----
 
     def _potential(self, theta, x, y):
@@ -272,7 +288,7 @@ class SMCSampler:
                 # cache keys on them, keeping the host-fetch cache warm
                 return run_smc_backend(self, key, data, cb)
         if self.adaptive:
-            return self._run_adaptive(key, x, y, jit=jit)
+            return self._run_adaptive(key, x, y, jit=jit, cache_data=data)
 
         def stage(carry, inputs):
             particles, log_w, log_z, key = carry
@@ -296,7 +312,7 @@ class SMCSampler:
             )
             return particles, log_w, log_z, diags
 
-        fn = jax.jit(run_fn) if jit else run_fn
+        fn = self._cached_jit("fixed", data, run_fn) if jit else run_fn
         particles, log_w, log_z, diags = fn(key)
         ess = float(jnp.exp(log_ess(log_w)))
         state = SMCState(
@@ -309,7 +325,7 @@ class SMCSampler:
         diagnostics["log_evidence"] = float(log_z)
         return state, diagnostics
 
-    def _run_adaptive(self, key, x, y, jit=True):
+    def _run_adaptive(self, key, x, y, jit=True, cache_data=None):
         """Adaptive tempering: a bounded while_loop whose next temperature
         comes from ``_next_beta``; per-stage diagnostics land in
         ``max_stages``-sized arrays written at the stage index."""
@@ -354,7 +370,10 @@ class SMCSampler:
             return (out["particles"], out["log_w"], out["log_z"],
                     out["stage"], out["beta"], out["diags"])
 
-        fn = jax.jit(run_fn) if jit else run_fn
+        fn = (self._cached_jit("adaptive",
+                               cache_data if cache_data is not None
+                               else (x, y), run_fn)
+              if jit else run_fn)
         particles, log_w, log_z, num_stages, final_beta, diags = fn(key)
         num_stages = int(num_stages)
         final_beta = float(final_beta)

@@ -304,6 +304,43 @@ class _ConjugateNormal(BayesianModel):
         return jnp.broadcast_to(theta, x.shape[:1] + (1,))
 
 
+class TestScanCaches:
+    def test_smc_reuses_compiled_anneal(self):
+        # round 5: repeated runs over the same data objects must reuse the
+        # compiled program (a fresh jit(closure) per call retraced the
+        # whole stage scan every time)
+        import jax.numpy as jnp
+
+        from eeyore_tpu.models import DistributionModel
+
+        dm = DistributionModel(lambda t, x, y: -0.5 * t @ t, num_params=2)
+        smc = SMCSampler(dm, num_particles=256, num_mutation_steps=1,
+                         mutation="MH", mutation_step=0.5,
+                         init_sampler=lambda k, n: jax.random.normal(k, (n, 2)),
+                         base_log_pdf=lambda t: -0.5 * t @ t)
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        smc.run(jax.random.PRNGKey(0), data)
+        fns = [v[0] for v in smc._scan_cache.values()]
+        smc.run(jax.random.PRNGKey(1), data)
+        assert [v[0] for v in smc._scan_cache.values()] == fns
+
+    def test_population_reuses_compiled_scan(self):
+        import jax.numpy as jnp
+
+        from eeyore_tpu.models import DistributionModel
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+
+        dm = DistributionModel(lambda t, x, y: -0.5 * t @ t, num_params=2)
+        pp = PowerPosteriorSampler(dm, num_chains=4, sampler="MALA",
+                                   sampler_kwargs={"step": 0.3},
+                                   swap_scheme="even_odd")
+        data = (jnp.zeros((1, 0)), jnp.zeros((1, 0)))
+        pp.run(jax.random.PRNGKey(0), jnp.zeros(2), data, 12, 4)
+        fns = [v[0] for v in pp._pop_jit_cache.values()]
+        pp.run(jax.random.PRNGKey(1), jnp.zeros(2), data, 12, 4)
+        assert [v[0] for v in pp._pop_jit_cache.values()] == fns
+
+
 class TestSMC:
     def test_conjugate_posterior_and_evidence(self):
         model = _ConjugateNormal()
