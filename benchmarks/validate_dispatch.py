@@ -144,9 +144,12 @@ def tempering_check():
         key = jax.random.PRNGKey(0)
         theta0 = 0.1 * jnp.ones(9)
         chains = pp.run(key, theta0, (x, y), 2048, 1024, backend=backend)
-        t0 = time.perf_counter()
-        chains = pp.run(key, theta0, (x, y), 2048, 1024, backend=backend)
-        wall = time.perf_counter() - t0
+        wall = None   # best-of-3: small walls swing 5x run-to-run on the
+        for _ in range(3):  # tunnel (0.067s vs 0.45s observed)
+            t0 = time.perf_counter()
+            chains = pp.run(key, theta0, (x, y), 2048, 1024, backend=backend)
+            w = time.perf_counter() - t0
+            wall = w if wall is None else min(wall, w)
         cold = np.asarray(chains.get_chain(7, key="sample"), np.float64)
         results[tag] = {"wall_s": round(wall, 4),
                         "ladder_iters_per_s": round(2048 / wall, 1),

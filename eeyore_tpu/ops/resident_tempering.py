@@ -70,7 +70,8 @@ def ladder_lane_constants(num_rungs, chain_block, temperatures):
 def make_resident_tempering(model, x, y, num_rungs, step=0.01, sampler="MALA",
                             temperatures=None, between_step=10,
                             num_iters=1000, num_burnin_iters=0,
-                            chain_block=2048, record_thin=1):
+                            chain_block=2048, record_thin=1,
+                            record_extras=False):
     """Whole-loop parallel tempering: ``fn(seed, theta0s [C, P])`` with
     ``C = num_ladders * num_rungs`` lanes, ladder-major (rung varies
     fastest, coldest rung LAST within each ladder, as the reference orders
@@ -176,4 +177,5 @@ def make_resident_tempering(model, x, y, num_rungs, step=0.01, sampler="MALA",
 
     return _make_resident(model, x, y, num_iters, num_burnin_iters,
                           chain_block, record_thin, factory,
-                          with_grad=with_grad, acc_rows=2, consts=consts)
+                          with_grad=with_grad, acc_rows=2, consts=consts,
+                          record_extras=record_extras)

@@ -42,7 +42,7 @@ def make_resident_tempering_dense(model, x, y, num_rungs, step=0.01,
                                   sampler="MALA", temperatures=None,
                                   between_step=10, num_iters=1000,
                                   num_burnin_iters=0, chain_block=8192,
-                                  record_thin=1):
+                                  record_thin=1, record_extras=False):
     """Whole-loop parallel tempering, dense layout: ``fn(seed,
     theta0s [C, P])`` with ``C = num_ladders * num_rungs`` chains (rung
     varies fastest; coldest rung last in each ladder). Returns
@@ -149,4 +149,5 @@ def make_resident_tempering_dense(model, x, y, num_rungs, step=0.01,
 
     return _make_resident_dense(model, x, y, num_iters, num_burnin_iters,
                                 chain_block, record_thin, factory,
-                                with_grad=with_grad, acc_tiles=2, consts=consts)
+                                with_grad=with_grad, acc_tiles=2, consts=consts,
+                                record_extras=record_extras)

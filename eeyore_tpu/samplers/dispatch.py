@@ -476,7 +476,8 @@ def run_kernel_backend(kernel, key, theta0s, data, num_iters,
 # ----------------------------------------------------------------------
 
 def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
-                      record_thin=1, backend="auto", platform=None):
+                      record_thin=1, backend="auto", platform=None,
+                      record_keys=None):
     """Dispatch decision for a power-posterior ladder run: the whole-ladder
     resident kernels (ops/resident_tempering{_dense}.py) run even/odd swap
     parallel tempering with MALA/MH within-moves — the reference's ladder
@@ -493,6 +494,14 @@ def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
             raise ValueError(f"backend={backend!r} requested but ineligible: "
                              f"{reason}")
         return None, reason
+
+    record_extras = False
+    if record_keys is not None:
+        extra = set(record_keys) - KERNEL_RECORD_KEYS
+        if extra:
+            return fail(f"record_keys {sorted(extra)} not recordable by the "
+                        "tempering kernels")
+        record_extras = "target_val" in record_keys
 
     platform = platform or jax.default_backend()
     if platform != "tpu":
@@ -529,7 +538,8 @@ def resolve_tempering(pp, data, num_iters, num_burnin_iters=0,
     kw = dict(num_rungs=L, step=step, sampler=pp.sampler,
               temperatures=np.asarray(pp.temperatures, np.float64),
               between_step=pp.between_step, num_iters=num_iters,
-              num_burnin_iters=num_burnin_iters, record_thin=record_thin)
+              num_burnin_iters=num_burnin_iters, record_thin=record_thin,
+              record_extras=record_extras)
 
     dense_ok = x.shape[0] <= MAX_DENSE_ROWS and backend in ("auto", "dense")
     if dense_ok:
@@ -690,12 +700,25 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
     cache_key = (plan.maker.__name__, num_iters, num_burnin_iters,
                  record_thin, plan.chain_block, keep,
                  _data_fingerprint(x, y), _freeze(plan.kwargs))
+    want_extras = bool(plan.kwargs.get("record_extras", False))
     if cache_key not in cache:
         base = plan.maker(pp.model, x, y, **plan.kwargs)
+        # the kernel carries the UNTEMPERED base log-target (temperatures
+        # enter at the accept tests); pp's recorded target_val contract is
+        # the TEMPERED value (reference power_posterior_sampler semantics)
+        temps_row = jnp.asarray(np.tile(np.asarray(pp.temperatures,
+                                                   np.float32), keep // L
+                                        if keep % L == 0 else 1)[:keep])
 
         def wrapped(seed, theta0s):
-            samples, final, counts = base(seed, theta0s)
+            out = base(seed, theta0s)
+            samples = out[0]
             ladders = jnp.swapaxes(samples[:, :keep, :], 0, 1)  # [keep, kept, P]
+            if want_extras:
+                vals, flags = out[-2], out[-1]       # [kept, C] each
+                tempered = vals[:, :keep].T * temps_row[:, None]
+                return (ladders, flags[:, :keep].T.astype(jnp.int32),
+                        tempered)
             moved = jnp.any(ladders[:, 1:, :] != ladders[:, :-1, :], axis=-1)
             accepted = jnp.concatenate(
                 [jnp.ones((keep, 1), dtype=moved.dtype), moved],
@@ -710,7 +733,9 @@ def run_tempering_backend(pp, key, theta0, data, num_iters,
         theta0s = jnp.broadcast_to(theta0, (plan.chain_block,) + theta0.shape)
     else:  # [L, P] per-rung inits, tiled across the block's ladders
         theta0s = jnp.tile(theta0, (plan.chain_block // L, 1))
-    ladders, accepted = fn(_device_seed(key), theta0s)
-    chains = ChainLists.from_arrays({"sample": np.asarray(ladders),
-                                     "accepted": np.asarray(accepted)})
+    out = fn(_device_seed(key), theta0s)
+    arrays = {"sample": np.asarray(out[0]), "accepted": np.asarray(out[1])}
+    if want_extras:
+        arrays["target_val"] = np.asarray(out[2])
+    chains = ChainLists.from_arrays(arrays)
     return chains

@@ -255,7 +255,8 @@ class PowerPosteriorSampler(PopulationKernel):
             )
 
             plan, _reason = resolve_tempering(
-                self, data, num_iters, num_burnin_iters, backend=backend)
+                self, data, num_iters, num_burnin_iters, backend=backend,
+                record_keys=record_keys)
             if plan is not None:
                 return run_tempering_backend(
                     self, key, theta0, data, num_iters, num_burnin_iters,

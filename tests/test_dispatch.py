@@ -418,3 +418,23 @@ class TestNUTSDepthGate:
         kernel.resolve_auto_budget(XOR, key=jax.random.PRNGKey(0),
                                    num_warmup=32, num_chains=2)
         assert kernel.max_depth <= MAX_KERNEL_DEPTH
+
+
+class TestTemperingRecordKeys:
+    def test_target_val_resolves_with_extras(self):
+        from eeyore_tpu.samplers import PowerPosteriorSampler
+        from eeyore_tpu.samplers.dispatch import resolve_tempering
+
+        pp = PowerPosteriorSampler(xor_model(), num_chains=8, sampler="MALA",
+                                   sampler_kwargs={"step": 0.05},
+                                   swap_scheme="even_odd")
+        plan, reason = resolve_tempering(
+            pp, XOR, 256, 64, platform="tpu",
+            record_keys=("sample", "target_val", "accepted"))
+        assert plan is not None, reason
+        assert plan.kwargs["record_extras"] is True
+        # keys beyond the kernel contract fall back to the scanned ladder
+        plan, reason = resolve_tempering(
+            pp, XOR, 256, 64, platform="tpu",
+            record_keys=("sample", "grad_val"))
+        assert plan is None and "grad_val" in reason
