@@ -89,7 +89,8 @@ class NUTSState(NamedTuple):
 def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
                      quantile=0.95, probe_max_depth=10, tuner=None, key=None,
                      theta0s=None, dtype=None, mass_adapt=False,
-                     return_metric=False):
+                     return_metric=False, criterion="quantile",
+                     candidate_depths=None):
     """Depth probe for fixed-budget NUTS: removes the hand-picked
     ``max_depth`` footgun (the 2^max_depth - 1 static budget pays for every
     level, so running the default 10 costs 1023 leapfrogs/transition when
@@ -112,6 +113,19 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     the chain-averaged FROZEN ``inv_mass`` diagonal ([P] f64) — feed it to
     the kernels' ``inv_mass=`` (the probe-and-freeze bridge that makes
     metric-needing targets kernel-eligible).
+
+    ``criterion``: how the frozen depth is chosen from the probe.
+    "quantile" (default) freezes the ``quantile`` of kept adaptive tree
+    depths — trajectories keep their natural length, but per-sample ESS
+    saturates well below the deep-tree budget on some posteriors.
+    "ess" picks the depth maximizing measured ESS PER LEAPFROG over short
+    fixed-budget probe runs at ``candidate_depths`` (default: 2 up to the
+    quantile depth) — the kernels execute leapfrogs at a near-constant
+    rate regardless of depth (143-160M/s measured on iris,
+    benchmarks/NUTS_DEPTH_ESS.json), so ESS/leapfrog IS kernel ESS/s up
+    to a constant. On iris this picks depth 2: 1.59M ESS/s vs the
+    quantile choice's 0.62M (and resident HMC's 0.77M). Costs one extra
+    scanned compile per candidate depth, once.
     """
     from eeyore_tpu.datasets import as_schedule
     from eeyore_tpu.samplers.runner import run_fn
@@ -142,6 +156,38 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     d = int(math.ceil(float(np.quantile(depths, quantile))))
     d = max(1, min(d, probe_max_depth))
     tuned_step = float(np.asarray(state.step).mean())
+
+    if criterion == "ess":
+        from eeyore_tpu.stats import multi_ess
+
+        candidates = tuple(candidate_depths
+                           or range(max(1, min(2, d)), d + 1))
+        best_d, best_score = d, -1.0
+        for cand in candidates:
+            probe_k = NUTS(model, step=tuned_step, max_depth=cand,
+                           fixed_budget=True, num_burnin_iters=burnin)
+            probe_k.recompute_current = schedule.num_batches != 1
+            fn = jax.jit(jax.vmap(run_fn(probe_k, schedule, num_warmup,
+                                         burnin, ("sample",))))
+            _, rec_c = fn(jax.random.split(jax.random.fold_in(key_run, cand),
+                                           num_chains), theta0s)
+            samples = np.asarray(rec_c["sample"], np.float64)
+            ess = []
+            for c in range(samples.shape[0]):
+                try:
+                    ess.append(multi_ess(samples[c], method="inse"))
+                except RuntimeError:
+                    pass
+            if not ess:
+                continue
+            score = float(np.mean(ess)) / (2 ** cand - 1)  # ESS/leapfrog
+            if score > best_score:
+                best_d, best_score = cand, score
+        d = best_d
+    elif criterion != "quantile":
+        raise ValueError(f"criterion must be 'quantile' or 'ess', got "
+                         f"{criterion!r}")
+
     if return_metric:
         inv_mass = np.asarray(state.inv_mass, np.float64).mean(axis=0)
         return d, tuned_step, inv_mass
@@ -200,7 +246,7 @@ class NUTS(HMC):
 
     def resolve_auto_budget(self, data, key=None, num_warmup=256,
                             num_chains=16, quantile=0.95, theta0s=None,
-                            probe_max_depth=4):
+                            probe_max_depth=4, criterion="quantile"):
         """Resolve ``max_depth="auto"``: run the :func:`choose_max_depth`
         warmup probe ONCE per dataset and freeze the probed (depth, step)
         onto this kernel. Idempotent per data fingerprint; no-op for
@@ -239,7 +285,7 @@ class NUTS(HMC):
         out = choose_max_depth(
             self.model, schedule, step=self.step0, num_warmup=num_warmup,
             num_chains=num_chains, quantile=quantile, theta0s=theta0s,
-            probe_max_depth=probe_max_depth,
+            probe_max_depth=probe_max_depth, criterion=criterion,
             key=jax.random.fold_in(key, 7919), mass_adapt=self.mass_adapt,
             return_metric=self.mass_adapt)
         if self.mass_adapt:

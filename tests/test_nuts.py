@@ -463,3 +463,33 @@ class TestFrozenMetricBridge:
         with pytest.raises(ValueError, match="positive"):
             make_resident_nuts_dense(model, x, y, step=0.1, max_depth=3,
                                      num_iters=8, inv_mass=np.zeros(P))
+
+
+class TestESSCriterion:
+    def test_ess_criterion_picks_cheapest_adequate_depth(self):
+        # on a Gaussian where per-sample ESS saturates quickly, the
+        # ESS-per-leapfrog criterion must not exceed the quantile choice
+        # (kernels run leapfrogs at a ~constant rate, so ESS/leapfrog
+        # tracks kernel ESS/s — benchmarks/NUTS_DEPTH_ESS.json)
+        from eeyore_tpu.samplers import choose_max_depth
+
+        cov = np.array([[1.0, 0.7], [0.7, 1.0]])
+        model = _gaussian_model(cov)
+        theta0s = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+        d_q, step_q = choose_max_depth(model, DATA, step=0.4, num_warmup=128,
+                                       theta0s=theta0s,
+                                       key=jax.random.PRNGKey(1))
+        d_e, step_e = choose_max_depth(model, DATA, step=0.4, num_warmup=128,
+                                       theta0s=theta0s,
+                                       key=jax.random.PRNGKey(1),
+                                       criterion="ess")
+        assert 1 <= d_e <= d_q, (d_e, d_q)
+        assert step_e == step_q  # the step comes from the same warmup
+
+    def test_unknown_criterion_raises(self):
+        from eeyore_tpu.samplers import choose_max_depth
+
+        model = _gaussian_model(np.eye(2))
+        with pytest.raises(ValueError, match="criterion"):
+            choose_max_depth(model, DATA, step=0.4, num_warmup=32,
+                             theta0s=jnp.zeros((4, 2)), criterion="bogus")
