@@ -246,7 +246,7 @@ class NUTS(HMC):
 
     def resolve_auto_budget(self, data, key=None, num_warmup=256,
                             num_chains=16, quantile=0.95, theta0s=None,
-                            probe_max_depth=4, criterion="quantile"):
+                            probe_max_depth=4, criterion="ess"):
         """Resolve ``max_depth="auto"``: run the :func:`choose_max_depth`
         warmup probe ONCE per dataset and freeze the probed (depth, step)
         onto this kernel. Idempotent per data fingerprint; no-op for
@@ -261,7 +261,14 @@ class NUTS(HMC):
         validated unroll regime (dispatch.MAX_KERNEL_DEPTH) — an uncapped
         probe on a hard posterior happily returns depth 7+ (127+
         leapfrogs/transition), which compiles for tens of minutes and
-        buys ~2x less ESS/s than the capped budget's larger step."""
+        buys ~2x less ESS/s than the capped budget's larger step.
+
+        ``criterion`` defaults to "ess" here (unlike choose_max_depth):
+        the auto flow's goal IS throughput, and ESS-per-leapfrog picked
+        the measured ESS/s-optimal depth on every validated target (iris:
+        1.9x the quantile choice; XOR and banknotes: identical —
+        benchmarks/NUTS_DEPTH_ESS.json) for a few extra seconds of
+        scanned probe runs in the one-time warmup."""
         if not self.auto_depth:
             return
         from eeyore_tpu.datasets import as_schedule
