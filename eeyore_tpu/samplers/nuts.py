@@ -125,7 +125,10 @@ def choose_max_depth(model, data, step=0.1, num_warmup=256, num_chains=16,
     benchmarks/NUTS_DEPTH_ESS.json), so ESS/leapfrog IS kernel ESS/s up
     to a constant. On iris this picks depth 2: 1.59M ESS/s vs the
     quantile choice's 0.62M (and resident HMC's 0.77M). Costs one extra
-    scanned compile per candidate depth, once.
+    scanned compile per candidate depth, once. (With ``mass_adapt`` the
+    candidate probes score under the identity metric — the ranking is
+    approximate for strongly metric-dependent posteriors; any choice
+    remains statistically valid.)
     """
     from eeyore_tpu.datasets import as_schedule
     from eeyore_tpu.samplers.runner import run_fn
